@@ -149,36 +149,55 @@ def _residual_data(state, data, ptype, loss, loss_threshold, pmax):
     inst, rigcam, cam, points = state
     d = data
 
-    def make_one(pt):
-        def one(uv, inv_sd, pi, ii, ri, ci):
-            combo = jnp.concatenate([inst[ii], rigcam[ri], cam[ci]])
+    def make_batched(pt):
+        def res_fn(combo, X, uv, inv_sd):
+            # combo: [O, 12+pmax]; X: [O, 3] — fully vectorized over obs.
+            Xi = rot.rotate(combo[:, 0:3], X) + combo[:, 3:6]
+            Xc = rot.rotate(combo[:, 6:9], Xi) + combo[:, 9:12]
+            pred = cam_lib.project(pt, Xc, combo[:, 12 : 12 + pmax], xp=jnp)
+            diff = pred - uv
+            if pt == "spherical":
+                # Wrap the panorama seam (the reference instead uses a 3D
+                # bearing residual, ErrorTraits bundle_adjuster.cc:446).
+                diff = diff - jnp.round(diff)
+            return diff * inv_sd[:, None]
 
-            def res_fn(combo_, X_):
-                Xc = _transform_rig(combo_[0:6], combo_[6:12], X_)
-                pred = cam_lib.project(pt, Xc, combo_[12 : 12 + pmax], xp=jnp)
-                diff = pred - uv
-                if pt == "spherical":
-                    # Wrap the panorama seam (the reference instead uses a 3D
-                    # bearing residual, ErrorTraits bundle_adjuster.cc:446).
-                    diff = diff - jnp.round(diff)
-                return diff * inv_sd
-
-            X = points[pi]
-            r = res_fn(combo, X)
-            Jc = jax.jacfwd(res_fn, argnums=0)(combo, X)
-            Jp = jax.jacfwd(res_fn, argnums=1)(combo, X)
-            return r, Jc, Jp
-
-        return one
+        return res_fn
 
     segments = ((ptype, 0, d["obs_uv"].shape[0]),) if isinstance(ptype, str) else ptype
     rs, Jcs, Jps = [], [], []
+    D = 12 + pmax
     for pt, start, end in segments:
         sl = slice(start, end)
-        r_, Jc_, Jp_ = jax.vmap(make_one(pt))(
-            d["obs_uv"][sl], d["obs_inv_sd"][sl], d["obs_point"][sl],
-            d["obs_inst"][sl], d["obs_rigcam"][sl], d["obs_cam"][sl],
+        combo = jnp.concatenate(
+            [
+                inst[d["obs_inst"][sl]],
+                rigcam[d["obs_rigcam"][sl]],
+                cam[d["obs_cam"][sl]],
+            ],
+            axis=1,
         )
+        X = points[d["obs_point"][sl]]
+        uv = d["obs_uv"][sl]
+        inv_sd = d["obs_inv_sd"][sl]
+        f = make_batched(pt)
+        r_ = f(combo, X, uv, inv_sd)
+
+        # Jacobians via vmap over the (D+3)-dim tangent basis: each pass is
+        # one fully-vectorized JVP over all observations (vs a per-obs
+        # jacfwd, which is gather-bound on TPU).
+        basis = jnp.eye(D + 3, dtype=combo.dtype)
+
+        def push(e):
+            tc = jnp.broadcast_to(e[:D], combo.shape)
+            tx = jnp.broadcast_to(e[D:], X.shape)
+            return jax.jvp(
+                lambda c, x: f(c, x, uv, inv_sd), (combo, X), (tc, tx)
+            )[1]
+
+        Jall = jax.vmap(push)(basis)  # [D+3, O, 2]
+        Jc_ = jnp.moveaxis(Jall[:D], 0, -1)  # [O, 2, D]
+        Jp_ = jnp.moveaxis(Jall[D:], 0, -1)  # [O, 2, 3]
         rs.append(r_)
         Jcs.append(Jc_)
         Jps.append(Jp_)
@@ -241,25 +260,6 @@ def _prior_residuals(state, data):
     return out
 
 
-def _make_col_index(data, ni, nr, nc, pmax):
-    """Per-obs global column indices [O, 28] into the camera-side vector,
-    with fixed/padded dims routed to the trash column Dc."""
-    dc = ni * 6 + nr * 6 + nc * pmax
-    o_inst = data["obs_inst"]
-    o_rig = data["obs_rigcam"]
-    o_cam = data["obs_cam"]
-    ar6 = jnp.arange(6)
-    arp = jnp.arange(pmax)
-    cols_i = o_inst[:, None] * 6 + ar6[None, :]
-    cols_r = ni * 6 + o_rig[:, None] * 6 + ar6[None, :]
-    cols_c = ni * 6 + nr * 6 + o_cam[:, None] * pmax + arp[None, :]
-    # Mask fixed blocks/dims.
-    cols_i = jnp.where(data["opt_inst"][o_inst][:, None], cols_i, dc)
-    cols_r = jnp.where(data["opt_rigcam"][o_rig][:, None], cols_r, dc)
-    cols_c = jnp.where(data["opt_cam"][o_cam], cols_c, dc)
-    return jnp.concatenate([cols_i, cols_r, cols_c], axis=1)  # [O, 28]
-
-
 @partial(
     jax.jit,
     static_argnames=("ptype", "loss", "loss_threshold", "pmax", "ni", "nr", "nc"),
@@ -267,116 +267,191 @@ def _make_col_index(data, ni, nr, nc, pmax):
 def _lm_step(state, data, lam, ptype, loss, loss_threshold, pmax, ni, nr, nc):
     """One damped LM step: assemble, Schur-eliminate points, solve, update.
 
-    Returns (new_state, predicted_ok) — acceptance is decided by the caller
-    from the recomputed cost.
+    Scatter-free assembly (TPU scatters serialize): observations are gathered
+    into the per-point CSR layout [NP, T], block families of the reduced
+    camera system are contracted with one-hot selectors over the SMALL
+    index sets (instances, rig cameras, cameras) as pure einsums/matmuls,
+    and the dense S is assembled by block concatenation.
     """
     inst, rigcam, cam, points = state
     np_pts = points.shape[0]
-    dc = ni * 6 + nr * 6 + nc * pmax
     dtype = points.dtype
 
     r, Jc, Jp, _ = _residual_data(state, data, ptype, loss, loss_threshold, pmax)
 
-    # Zero jacobians of fixed points.
+    # Mask Jacobians of fixed parameters (zero rows instead of index games).
     opt_p = data["opt_points"][data["obs_point"]].astype(dtype)
     Jp = Jp * opt_p[:, None, None]
+    opt_i_o = data["opt_inst"][data["obs_inst"]].astype(dtype)
+    opt_r_o = data["opt_rigcam"][data["obs_rigcam"]].astype(dtype)
+    opt_c_o = data["opt_cam"][data["obs_cam"]].astype(dtype)  # [O, pmax]
+    Ji = Jc[:, :, 0:6] * opt_i_o[:, None, None]
+    Jr = Jc[:, :, 6:12] * opt_r_o[:, None, None]
+    Jcam = Jc[:, :, 12:] * opt_c_o[:, None, :]
 
-    cols = _make_col_index(data, ni, nr, nc, pmax)  # [O, 28]
+    # Gather into per-point layout [NP, T, ...] (trash slot -> zero row).
+    po = data["point_obs"]  # [NP, T], padded with O
 
-    # --- camera-side normal equations (scatter-added dense S) -------------
-    S = jnp.zeros((dc + 1, dc + 1), dtype=dtype)
-    b = jnp.zeros((dc + 1,), dtype=dtype)
+    def padded(x):
+        pad = jnp.zeros((1,) + x.shape[1:], dtype=x.dtype)
+        return jnp.concatenate([x, pad])[po]
 
-    JcTJc = jnp.einsum("oki,okj->oij", Jc, Jc)  # [O,28,28]
-    JcTr = jnp.einsum("oki,ok->oi", Jc, r)  # [O,28]
-    S = S.at[cols[:, :, None], cols[:, None, :]].add(JcTJc)
-    b = b.at[cols].add(JcTr)
+    r_pt = padded(r)  # [NP,T,2]
+    Ji_pt = padded(Ji)  # [NP,T,2,6]
+    Jr_pt = padded(Jr)
+    Jc_pt = padded(Jcam)  # [NP,T,2,pmax]
+    Jp_pt = padded(Jp)  # [NP,T,2,3]
+    inst_pt = padded(data["obs_inst"])
+    rig_pt = padded(data["obs_rigcam"])
+    cam_pt = padded(data["obs_cam"])
 
-    # --- priors ------------------------------------------------------------
-    for pr, pJ, kind in _prior_residuals(state, data):
-        n = pJ.shape[0]
-        if kind == "inst":
-            base = jnp.arange(n)[:, None] * 6 + jnp.arange(6)[None, :]
-            pcols = jnp.where(data["opt_inst"][:, None], base, dc)
-        elif kind == "rigcam":
-            base = ni * 6 + jnp.arange(n)[:, None] * 6 + jnp.arange(6)[None, :]
-            pcols = jnp.where(data["opt_rigcam"][:, None], base, dc)
-        else:  # cam
-            base = ni * 6 + nr * 6 + jnp.arange(n)[:, None] * pmax + jnp.arange(pmax)[None, :]
-            pcols = jnp.where(data["opt_cam"], base, dc)
-        S = S.at[pcols[:, :, None], pcols[:, None, :]].add(
-            jnp.einsum("nki,nkj->nij", pJ, pJ)
-        )
-        b = b.at[pcols].add(jnp.einsum("nki,nk->ni", pJ, pr))
+    E_i = jax.nn.one_hot(inst_pt, ni, dtype=dtype)  # [NP,T,NI]
+    E_r = jax.nn.one_hot(rig_pt, nr, dtype=dtype)
+    E_c = jax.nn.one_hot(cam_pt, nc, dtype=dtype)
 
-    # --- point system ------------------------------------------------------
-    Hpp = jax.ops.segment_sum(
-        jnp.einsum("oki,okj->oij", Jp, Jp), data["obs_point"], num_segments=np_pts
-    )
-    bp = jax.ops.segment_sum(
-        jnp.einsum("oki,ok->oi", Jp, r), data["obs_point"], num_segments=np_pts
-    )
-    # Point priors (GCP): diagonal contributions.
+    # --- point system (pure reshaped reductions) ---------------------------
+    Hpp = jnp.einsum("ptki,ptkj->pij", Jp_pt, Jp_pt)
+    bp = jnp.einsum("ptki,ptk->pi", Jp_pt, r_pt)
     pp_r = (points - data["point_prior"]) * data["point_prior_inv_sd"]
     pp_w = data["point_prior_inv_sd"] ** 2
     Hpp = Hpp + jax.vmap(jnp.diag)(pp_w)
     bp = bp + pp_r * data["point_prior_inv_sd"]
-
-    # LM damping (Marquardt: scale diagonals).
-    diag_S = jnp.diagonal(S)
-    S = S + jnp.diag(lam * diag_S + 1e-12)
     eyep = jnp.eye(3, dtype=dtype)
     Hpp = Hpp + lam * jax.vmap(jnp.diag)(jnp.diagonal(Hpp, axis1=1, axis2=2)) \
         + 1e-12 * eyep
     opt_p_pts = data["opt_points"].astype(dtype)[:, None, None]
-    Hpp_inv = jnp.linalg.inv(Hpp) * opt_p_pts  # fixed points: no update/Schur
+    Hpp_inv = jnp.linalg.inv(Hpp) * opt_p_pts
 
-    # --- Schur complement --------------------------------------------------
-    G = jnp.einsum("oki,okj->oij", Jc, Jp)  # [O, 28, 3]
+    # --- camera-point couplings and Schur factors --------------------------
+    blocks = [("i", Ji_pt, E_i, ni, 6), ("c", Jc_pt, E_c, nc, pmax),
+              ("r", Jr_pt, E_r, nr, 6)]
+    G = {}
+    U = {}
+    V = {}
+    for name, J_pt, E, n_blk, bdim in blocks:
+        Ga = jnp.einsum("ptki,ptkj->ptij", J_pt, Jp_pt)  # [NP,T,bdim,3]
+        Aa = jnp.einsum("ptij,pjk->ptik", Ga, Hpp_inv)
+        G[name] = Ga
+        U[name] = jnp.einsum("pta,ptxk->paxk", E, Aa)  # [NP,n,bdim,3]
+        V[name] = jnp.einsum("pta,ptxk->paxk", E, Ga)
+
+    # --- block families of S and b ----------------------------------------
+    def direct_diag(E, J_pt):
+        # Same-obs block-diagonal contributions (one block per obs).
+        M = jnp.einsum("ptkx,ptky->ptxy", J_pt, J_pt)
+        return jnp.einsum("pta,ptxy->axy", E, M)
+
+    def direct_cross(E_a, J_a, E_b, J_b, nb_small):
+        """Cross block; E_b must be the SMALL side (explicit path keeps the
+        [NP,T,nb,x,y] intermediate bounded)."""
+        M = jnp.einsum("ptkx,ptky->ptxy", J_a, J_b)
+        T1 = M[:, :, None, :, :] * E_b[:, :, :, None, None]
+        return jnp.einsum("pta,ptbxy->axby", E_a, T1)
+
+    def schur(a, b_):
+        return jnp.einsum("paxk,pbyk->axby", U[a], V[b_])
+
+    def expand_diag(D, n_blk, bdim):
+        # [n,b,b] block-diagonal -> [n,b,n,b]
+        eye_n = jnp.eye(n_blk, dtype=dtype)
+        return jnp.einsum("axy,ab->axby", D, eye_n)
+
+    S_II = expand_diag(direct_diag(E_i, Ji_pt), ni, 6) - schur("i", "i")
+    S_RR = expand_diag(direct_diag(E_r, Jr_pt), nr, 6) - schur("r", "r")
+    S_CC = expand_diag(direct_diag(E_c, Jc_pt), nc, pmax) - schur("c", "c")
+    S_IR = direct_cross(E_i, Ji_pt, E_r, Jr_pt, nr) - schur("i", "r")
+    S_IC = direct_cross(E_i, Ji_pt, E_c, Jc_pt, nc) - schur("i", "c")
+    S_RC = direct_cross(E_r, Jr_pt, E_c, Jc_pt, nc) - schur("r", "c")
+
     Hib = jnp.einsum("pij,pj->pi", Hpp_inv, bp)  # [NP,3]
-    b = b.at[cols].add(-jnp.einsum("oij,oj->oi", G, Hib[data["obs_point"]]))
 
-    T = data["point_obs"].shape[1]
-    num_obs = r.shape[0]
-    # Trash observation slot: index num_obs with zero G / cols -> dc.
-    G_pad = jnp.concatenate([G, jnp.zeros((1, G.shape[1], 3), dtype=dtype)])
-    cols_pad = jnp.concatenate([cols, jnp.full((1, cols.shape[1]), dc)])
-    po = data["point_obs"]  # [NP, T], padded with num_obs
+    def rhs(name, E, J_pt, n_blk, bdim):
+        JTr = jnp.einsum("ptkx,ptk->ptx", J_pt, r_pt)
+        direct = jnp.einsum("pta,ptx->ax", E, JTr)
+        GH = jnp.einsum("ptxk,pk->ptx", G[name], Hib)
+        gschur = jnp.einsum("pta,ptx->ax", E, GH)
+        return (direct - gschur).reshape(n_blk * bdim)
 
-    def pair_body(k, S):
-        a, bb = k // T, k % T
-        o1 = po[:, a]
-        o2 = po[:, bb]
-        G1 = G_pad[o1]  # [NP,28,3]
-        G2 = G_pad[o2]
-        M = jnp.einsum("pij,pjk,plk->pil", G1, Hpp_inv, G2)  # [NP,28,28]
-        c1 = cols_pad[o1]  # [NP,28]
-        c2 = cols_pad[o2]
-        return S.at[c1[:, :, None], c2[:, None, :]].add(-M)
+    b_i = rhs("i", E_i, Ji_pt, ni, 6)
+    b_r = rhs("r", E_r, Jr_pt, nr, 6)
+    b_c = rhs("c", E_c, Jc_pt, nc, pmax)
 
-    S = jax.lax.fori_loop(0, T * T, pair_body, S)
+    # --- priors (small dense additions on the diagonal block families) -----
+    for pr, pJ, kind in _prior_residuals(state, data):
+        if kind == "inst":
+            mask = data["opt_inst"].astype(dtype)[:, None, None]
+            D = jnp.einsum("nki,nkj->nij", pJ, pJ) * mask
+            S_II = S_II + expand_diag(D, ni, 6)
+            b_i = b_i + (
+                jnp.einsum("nki,nk->ni", pJ, pr) * mask[:, :, 0]
+            ).reshape(ni * 6)
+        elif kind == "rigcam":
+            mask = data["opt_rigcam"].astype(dtype)[:, None, None]
+            D = jnp.einsum("nki,nkj->nij", pJ, pJ) * mask
+            S_RR = S_RR + expand_diag(D, nr, 6)
+            b_r = b_r + (
+                jnp.einsum("nki,nk->ni", pJ, pr) * mask[:, :, 0]
+            ).reshape(nr * 6)
+        else:  # cam — per-dim masks
+            mask = data["opt_cam"].astype(dtype)
+            pJm = pJ * mask[:, None, :]
+            D = jnp.einsum("nki,nkj->nij", pJm, pJm)
+            S_CC = S_CC + expand_diag(D, nc, pmax)
+            b_c = b_c + jnp.einsum("nki,nk->ni", pJm, pr).reshape(nc * pmax)
 
-    # --- solve -------------------------------------------------------------
-    # Decouple the trash row/col (fixed & padded dims scatter there).
+    # --- assemble the dense reduced system ---------------------------------
+    di, dr, dcam = ni * 6, nr * 6, nc * pmax
+    S = jnp.block(
+        [
+            [
+                S_II.reshape(di, di),
+                S_IR.reshape(di, dr),
+                S_IC.reshape(di, dcam),
+            ],
+            [
+                S_IR.reshape(di, dr).T,
+                S_RR.reshape(dr, dr),
+                S_RC.reshape(dr, dcam),
+            ],
+            [
+                S_IC.reshape(di, dcam).T,
+                S_RC.reshape(dr, dcam).T,
+                S_CC.reshape(dcam, dcam),
+            ],
+        ]
+    )
+    b = jnp.concatenate([b_i, b_r, b_c])
+
+    # Identity rows for fixed/padded parameters keep S nonsingular.
+    fixed_dims = jnp.concatenate(
+        [
+            jnp.repeat(~data["opt_inst"], 6),
+            jnp.repeat(~data["opt_rigcam"], 6),
+            (~data["opt_cam"]).reshape(-1),
+        ]
+    ).astype(dtype)
+    S = S + jnp.diag(fixed_dims)
+
+    diag_S = jnp.diagonal(S)
+    S = S + jnp.diag(lam * diag_S + 1e-12)
     S = 0.5 * (S + S.T)
-    S = S.at[dc, :].set(0.0).at[:, dc].set(0.0).at[dc, dc].set(1.0)
-    b = b.at[dc].set(0.0)
     dx_c = jnp.linalg.solve(S, b)
 
-    # Back-substitute points: dx_p = Hpp_inv (bp - sum_o G_o^T dx_c[cols_o]).
-    u = jnp.einsum("oij,oi->oj", G, dx_c[cols])  # [O,3]
-    su = jax.ops.segment_sum(u, data["obs_point"], num_segments=np_pts)
-    dx_p = jnp.einsum("pij,pj->pi", Hpp_inv, bp - su)
+    # --- back-substitute points (gathers only) -----------------------------
+    dx_i = dx_c[:di].reshape(ni, 6)
+    dx_r = dx_c[di : di + dr].reshape(nr, 6)
+    dx_cam = dx_c[di + dr :].reshape(nc, pmax)
+    u = (
+        jnp.einsum("ptxk,ptx->pk", G["i"], dx_i[inst_pt])
+        + jnp.einsum("ptxk,ptx->pk", G["r"], dx_r[rig_pt])
+        + jnp.einsum("ptxk,ptx->pk", G["c"], dx_cam[cam_pt])
+    )
+    dx_p = jnp.einsum("pij,pj->pi", Hpp_inv, bp - u)
 
-    # --- update ------------------------------------------------------------
-    dxc = dx_c[:dc]
-    d_inst = dxc[: ni * 6].reshape(ni, 6)
-    d_rig = dxc[ni * 6 : ni * 6 + nr * 6].reshape(nr, 6)
-    d_cam = dxc[ni * 6 + nr * 6 :].reshape(nc, pmax)
     new_state = (
-        inst - d_inst,
-        rigcam - d_rig,
-        cam - d_cam,
+        inst - dx_i,
+        rigcam - dx_r,
+        cam - dx_cam,
         points - dx_p,
     )
     return new_state
@@ -386,8 +461,27 @@ def _lm_step(state, data, lam, ptype, loss, loss_threshold, pmax, ni, nr, nc):
     jax.jit, static_argnames=("ptype", "loss", "loss_threshold", "pmax")
 )
 def _total_cost(state, data, ptype, loss, loss_threshold, pmax):
-    _, _, _, obs_cost = _residual_data(state, data, ptype, loss, loss_threshold, pmax)
-    total = jnp.sum(obs_cost)
+    """Objective only — no Jacobians (cheap accept/reject evaluation)."""
+    inst, rigcam, cam, points = state
+    d = data
+
+    segments = ((ptype, 0, d["obs_uv"].shape[0]),) if isinstance(ptype, str) else ptype
+    rho, _ = LOSSES[loss]
+    a2 = loss_threshold * loss_threshold
+    total = jnp.zeros((), dtype=points.dtype)
+    for pt, start, end in segments:
+        sl = slice(start, end)
+        Xi = rot.rotate(inst[d["obs_inst"][sl]][:, 0:3], points[d["obs_point"][sl]]) \
+            + inst[d["obs_inst"][sl]][:, 3:6]
+        rc = rigcam[d["obs_rigcam"][sl]]
+        Xc = rot.rotate(rc[:, 0:3], Xi) + rc[:, 3:6]
+        pred = cam_lib.project(pt, Xc, cam[d["obs_cam"][sl]][:, :pmax], xp=jnp)
+        diff = pred - d["obs_uv"][sl]
+        if pt == "spherical":
+            diff = diff - jnp.round(diff)
+        r = diff * d["obs_inv_sd"][sl][:, None]
+        s = jnp.sum(r * r, axis=-1)
+        total = total + jnp.sum(0.5 * a2 * rho(s / a2))
     for pr, _, _ in _prior_residuals(state, data):
         total = total + 0.5 * jnp.sum(pr * pr)
     # Point priors.
@@ -449,8 +543,11 @@ def bundle_adjust(
     for it in range(max_iterations):
         accepted = False
         for _trial in range(8):
+            # lam must be a traced array: a Python float would bake into the
+            # jaxpr as a constant and force a recompile per damping value.
             new_state = _lm_step(
-                state, data, lam, ni=ni, nr=nr, nc=nc, **statics
+                state, data, jnp.asarray(lam, dtype=dtype), ni=ni, nr=nr, nc=nc,
+                **statics,
             )
             new_cost = float(_total_cost(new_state, data, **statics))
             if np.isfinite(new_cost) and new_cost < cost:

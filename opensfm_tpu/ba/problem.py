@@ -179,12 +179,18 @@ class _Builder:
 
     # -- finalize -----------------------------------------------------------
     def build(self, extra_point_coords: Dict[str, np.ndarray]) -> BAProblem:
+        # All dimensions are padded to power-of-two buckets so that the jitted
+        # LM kernels are shared across the growth loop (padding routes to the
+        # trash column / zero-weight rows).
+        def p2(n: int) -> int:
+            return max(1, 1 << int(max(n, 1) - 1).bit_length())
+
         cfg = self.config
         rec = self.rec
-        ni = max(len(self.inst_ids), 1)
-        nr = max(len(self.rigcam_ids), 1)
-        nc = max(len(self.cam_ids), 1)
-        npts = max(len(self.point_ids), 1)
+        ni = p2(len(self.inst_ids))
+        nr = p2(len(self.rigcam_ids))
+        nc = p2(len(self.cam_ids))
+        npts = p2(len(self.point_ids))
 
         used_types = sorted(
             {rec.cameras[cid].projection_type for cid in self.cam_ids} or
@@ -229,7 +235,8 @@ class _Builder:
 
         # Observations, grouped by projection type for static segments.
         order = sorted(range(len(self.obs)), key=lambda k: self.obs[k][6])
-        O = max(len(self.obs), 1)
+        n_obs = len(self.obs)
+        O = p2(n_obs)
         obs_uv = np.zeros((O, 2))
         obs_inv_sd = np.zeros(O)
         obs_point = np.zeros(O, dtype=np.int64)
@@ -251,15 +258,18 @@ class _Builder:
                 segments[-1] = (pt, segments[-1][1], rank + 1)
         if not segments:
             segments = [(used_types[0], 0, O)]
+        else:
+            # Zero-weight padding rides in the last type segment.
+            segments[-1] = (segments[-1][0], segments[-1][1], O)
 
-        # CSR point -> obs (padded with O).
+        # CSR point -> obs (padded with the trash slot O).
         track_lens = np.zeros(npts, dtype=np.int64)
-        for rank in range(len(self.obs)):
+        for rank in range(n_obs):
             track_lens[obs_point[rank]] += 1
-        T = max(int(track_lens.max()) if len(self.obs) else 1, 1)
-        point_obs = np.full((npts, T), len(self.obs), dtype=np.int64)
+        T = p2(int(track_lens.max()) if n_obs else 1)
+        point_obs = np.full((npts, T), O, dtype=np.int64)
         slot = np.zeros(npts, dtype=np.int64)
-        for rank in range(len(self.obs)):
+        for rank in range(n_obs):
             p = obs_point[rank]
             point_obs[p, slot[p]] = rank
             slot[p] += 1
@@ -358,13 +368,22 @@ def _setup_instance(
     i_idx = builder.add_instance(instance, fixed)
     if config["bundle_use_gps"] and use_gps and not fixed:
         positions, stds = [], []
+        bias = None
         for shot in instance.shots.values():
             m = shot.metadata
+            if bias is None:
+                bias = builder.rec.biases.get(shot.camera.id)
             if m.gps_position.has_value and m.gps_accuracy.has_value:
                 positions.append(np.asarray(m.gps_position.value, dtype=np.float64))
                 stds.append(float(m.gps_accuracy.value))
         if positions:
-            builder.add_gps(i_idx, np.mean(positions, axis=0), float(np.mean(stds)))
+            mean_pos = np.mean(positions, axis=0)
+            # GPS priors live in the GPS frame; the per-camera bias similarity
+            # maps them into the model frame (SimilarityPriorTransform,
+            # bundle_adjuster.cc:745-778).
+            if bias is not None:
+                mean_pos = bias.transform(mean_pos)
+            builder.add_gps(i_idx, mean_pos, float(np.mean(stds)))
     return i_idx
 
 

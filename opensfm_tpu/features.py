@@ -1,0 +1,180 @@
+"""Feature data containers, serialization and coordinate conversions.
+
+Mirrors reference `opensfm/features.py`: `FeaturesData` + versioned npz
+format (features.py:50-278), normalized image coordinates (features.py:324),
+and the extraction drivers' public API.  Detection itself lives in
+`opensfm_tpu.ops.features` (JAX DoG/gradient-orientation kernels replacing
+VLFeat HAHOG / OpenCV SIFT).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, BinaryIO, Dict, List, Optional, Tuple, Union
+
+import numpy as np
+
+from opensfm_tpu.geometry.cameras import (  # noqa: F401 (public API re-export)
+    denormalized_image_coordinates,
+    normalized_image_coordinates,
+)
+
+logger = logging.getLogger(__name__)
+
+
+class SemanticData:
+    """Per-feature segmentation/instance labels (features.py:17-47)."""
+
+    def __init__(
+        self,
+        segmentation: np.ndarray,
+        instances: Optional[np.ndarray],
+        labels: List[str],
+    ) -> None:
+        self.segmentation = segmentation
+        self.instances = instances
+        self.labels = labels
+
+    def __len__(self) -> int:
+        return len(self.segmentation)
+
+    def has_instances(self) -> bool:
+        return self.instances is not None
+
+    def mask(self, mask: np.ndarray) -> "SemanticData":
+        return SemanticData(
+            self.segmentation[mask],
+            self.instances[mask] if self.instances is not None else None,
+            self.labels,
+        )
+
+
+class FeaturesData:
+    """Detected features: points[N,>=3] (x, y, scale[, angle]) in normalized
+    coordinates, descriptors, colors, optional semantics/depths."""
+
+    FEATURES_VERSION = 3
+    FEATURES_HEADER = "OPENSFM_FEATURES_VERSION"
+
+    def __init__(
+        self,
+        points: np.ndarray,
+        descriptors: Optional[np.ndarray],
+        colors: np.ndarray,
+        semantic: Optional[SemanticData] = None,
+        depths: Optional[np.ndarray] = None,
+    ) -> None:
+        self.points = points
+        self.descriptors = descriptors
+        self.colors = colors
+        self.semantic = semantic
+        self.depths = depths
+
+    def __len__(self) -> int:
+        return len(self.points)
+
+    def get_segmentation(self) -> Optional[np.ndarray]:
+        return self.semantic.segmentation if self.semantic else None
+
+    def has_instances(self) -> bool:
+        return bool(self.semantic) and self.semantic.instances is not None
+
+    def mask(self, mask: np.ndarray) -> "FeaturesData":
+        return FeaturesData(
+            self.points[mask],
+            self.descriptors[mask] if self.descriptors is not None else None,
+            self.colors[mask] if len(self.colors) else self.colors,
+            self.semantic.mask(mask) if self.semantic else None,
+            self.depths[mask] if self.depths is not None else None,
+        )
+
+    def save(self, fileobject: Union[str, BinaryIO], config: Dict[str, Any]) -> None:
+        feature_type = str(config.get("feature_type", "HAHOG")).upper()
+        if (
+            (feature_type == "AKAZE"
+             and config.get("akaze_descriptor") in ["MLDB_UPRIGHT", "MLDB"])
+            or (feature_type == "HAHOG" and config.get("hahog_normalize_to_uchar"))
+            or (feature_type == "ORB")
+        ):
+            feature_data_type = np.uint8
+        else:
+            feature_data_type = np.float32
+        if self.descriptors is None:
+            raise RuntimeError("No descriptors found, cannot save features data.")
+        semantic = self.semantic
+        kwargs: Dict[str, Any] = dict(
+            points=self.points.astype(np.float32),
+            descriptors=self.descriptors.astype(feature_data_type),
+            colors=self.colors,
+        )
+        if semantic:
+            kwargs.update(
+                segmentations=semantic.segmentation.astype(np.uint8),
+                instances=(
+                    semantic.instances.astype(np.int16)
+                    if semantic.instances is not None
+                    else []
+                ),
+                segmentation_labels=np.array(semantic.labels).astype(str),
+            )
+        else:
+            kwargs.update(segmentations=[], instances=[], segmentation_labels=[])
+        kwargs[self.FEATURES_HEADER] = self.FEATURES_VERSION
+        np.savez_compressed(fileobject, **kwargs)
+
+    @classmethod
+    def from_file(
+        cls, fileobject: Union[str, BinaryIO], config: Dict[str, Any]
+    ) -> "FeaturesData":
+        s = np.load(fileobject, allow_pickle=False)
+        version = int(s[cls.FEATURES_HEADER]) if cls.FEATURES_HEADER in s else 0
+        feature_type = str(config.get("feature_type", "HAHOG")).upper()
+        descriptors = s["descriptors"] if "descriptors" in s else None
+        if (
+            descriptors is not None
+            and feature_type == "HAHOG"
+            and config.get("hahog_normalize_to_uchar")
+        ):
+            descriptors = descriptors.astype(np.float32)
+        points = s["points"].astype(np.float64)
+        colors = s["colors"] if "colors" in s else np.zeros((len(points), 3))
+
+        semantic = None
+        if version >= 2 and "segmentations" in s and len(s["segmentations"]):
+            instances = (
+                s["instances"] if "instances" in s and len(s["instances"]) else None
+            )
+            labels = (
+                list(s["segmentation_labels"])
+                if "segmentation_labels" in s
+                else []
+            )
+            semantic = SemanticData(s["segmentations"], instances, labels)
+        return cls(points, descriptors, colors, semantic)
+
+
+def root_feature(desc: np.ndarray, l2_normalization: bool = False) -> np.ndarray:
+    """RootSIFT mapping: L1-normalize then sqrt (features.py feature_root)."""
+    if l2_normalization:
+        s2 = np.linalg.norm(desc, axis=1)
+        desc = (desc.T / s2).T
+    s = np.sum(desc, 1)
+    desc = np.sqrt(desc.T / s).T
+    return desc
+
+
+def normalize_features(
+    points: np.ndarray, desc: np.ndarray, colors: np.ndarray,
+    width: int, height: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Transform feature coordinates and sizes to normalized units."""
+    points[:, :2] = normalized_image_coordinates(points[:, :2], width, height)
+    points[:, 2:3] /= max(width, height)
+    return points, desc, colors
+
+
+def build_flann_index(descriptors: np.ndarray, config: Dict[str, Any]):
+    """Exact-NN replacement of FLANN (features.py:638): on TPU, exact top-k
+    by blocked matmul beats approximate trees; the 'index' is just the
+    descriptor matrix."""
+    return np.ascontiguousarray(descriptors, dtype=np.float32)

@@ -1,0 +1,13 @@
+"""Multi-chip parallelism: sharded bundle adjustment over a device mesh.
+
+TPU-native replacement for the reference's cluster story (file-based
+submodel split/merge, SURVEY.md §2.4): the map is partitioned by points
+across devices, each device reduces its share of the Schur system, and the
+reduced camera system is psum-ed over ICI — distributed Gauss-Newton
+instead of pose-graph stitching.
+"""
+
+from opensfm_tpu.parallel.distributed_ba import (  # noqa: F401
+    make_sharded_lm_step,
+    shard_problem,
+)

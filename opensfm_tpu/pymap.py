@@ -340,6 +340,8 @@ class Map:
     def create_camera(self, camera: Camera) -> Camera:
         cam = camera.copy()
         self.cameras[cam.id] = cam
+        # Every camera starts with an identity GPS bias (map.h SetBias).
+        self.biases.setdefault(cam.id, Similarity())
         return cam
 
     def get_camera(self, cam_id: str) -> Camera:

@@ -146,12 +146,20 @@ def _run(
         mask = np.ones(n, dtype=bool)
     if int(mask.sum()) < min_samples:
         return RansacResult()
+    # Pad to power-of-two buckets so jit compiles are shared across calls.
+    n_pad = max(64, 1 << int(n - 1).bit_length())
+    if n_pad > n:
+        pad = n_pad - n
+        d1 = np.concatenate([d1, np.repeat(d1[:1], pad, axis=0)])
+        d2 = np.concatenate([d2, np.repeat(d2[:1], pad, axis=0)])
+        mask = np.concatenate([mask, np.zeros(pad, dtype=bool)])
     key = jax.random.PRNGKey(seed)
     k = int(max(iterations, 64))
     model, cost, inliers = core(
-        key, jnp.asarray(d1), jnp.asarray(d2), threshold, jnp.asarray(mask), k
+        key, jnp.asarray(d1), jnp.asarray(d2),
+        jnp.asarray(threshold, dtype=np.asarray(d1).dtype), jnp.asarray(mask), k,
     )
-    inl = np.flatnonzero(np.asarray(inliers))
+    inl = np.flatnonzero(np.asarray(inliers)[:n])
     result = RansacResult(
         model=jax.tree.map(np.asarray, model),
         inliers_indices=inl,
@@ -352,6 +360,56 @@ def ransac_similarity(
     return _run(
         _similarity_core, np.asarray(x1), np.asarray(x2), float(threshold),
         iterations, 3, seed, mask,
+    )
+
+
+def _homography_dlt(x1, x2, mask=None):
+    """DLT homography from 2D point pairs: x2 ~ H x1 (rows [N,2])."""
+    n = x1.shape[0]
+    ones = jnp.ones((n, 1), dtype=x1.dtype)
+    zeros = jnp.zeros((n, 3), dtype=x1.dtype)
+    X1 = jnp.concatenate([x1, ones], axis=1)  # [N,3]
+    u, v = x2[:, 0:1], x2[:, 1:2]
+    rows1 = jnp.concatenate([X1, zeros, -u * X1], axis=1)
+    rows2 = jnp.concatenate([zeros, X1, -v * X1], axis=1)
+    A = jnp.concatenate([rows1, rows2], axis=0)  # [2N, 9]
+    if mask is not None:
+        m = jnp.concatenate([mask, mask]).astype(A.dtype)[:, None]
+        A = A * m
+    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+    H = Vt[-1].reshape(3, 3)
+    return H / jnp.where(jnp.abs(H[2, 2]) < 1e-15, 1e-15, H[2, 2])
+
+
+def _homography_minimal(x1, x2):
+    H = _homography_dlt(x1, x2)
+    return H[None], jnp.ones(1, dtype=bool)
+
+
+def _homography_error(H, x1, x2):
+    """Forward transfer error |H(x1) - x2| (cv2.findHomography semantics)."""
+    p = jnp.concatenate([x1, jnp.ones_like(x1[:, :1])], axis=1) @ H.T
+    w = jnp.where(jnp.abs(p[:, 2:3]) < 1e-15, 1e-15, p[:, 2:3])
+    return jnp.linalg.norm(p[:, :2] / w - x2, axis=-1)
+
+
+def _homography_nonminimal(H, x1, x2, mask):
+    return _homography_dlt(x1, x2, mask=mask)
+
+
+_homography_core = make_ransac_core(
+    _homography_minimal, _homography_error, _homography_nonminimal, 4
+)
+
+
+def ransac_homography(
+    x1, x2, threshold: float, iterations: int = 1000, seed: int = 42, mask=None
+) -> RansacResult:
+    """Plane homography RANSAC from 2D points; transfer-distance threshold
+    (replaces cv2.findHomography in the plane-based two-view path)."""
+    return _run(
+        _homography_core, np.asarray(x1), np.asarray(x2), float(threshold),
+        iterations, 4, seed, mask,
     )
 
 
