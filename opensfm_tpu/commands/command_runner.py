@@ -1,0 +1,41 @@
+"""Subcommand dispatch (reference commands/command_runner.py:10-46)."""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+
+def command_runner(all_commands_types, dataset_factory=None) -> None:
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)s: %(message)s",
+    )
+    parser = argparse.ArgumentParser(
+        description="opensfm_tpu — TPU-native structure from motion"
+    )
+    subparsers = parser.add_subparsers(dest="command", help="Command to run")
+    subparsers.required = True
+
+    commands = (
+        all_commands_types() if callable(all_commands_types) else all_commands_types
+    )
+    for command in commands:
+        subparser = subparsers.add_parser(command.name, help=command.help)
+        subparser.add_argument("dataset", help="dataset to process")
+        command.add_arguments(subparser)
+
+    args = parser.parse_args()
+
+    if dataset_factory is None:
+        from opensfm_tpu.dataset import DataSet
+
+        def dataset_factory(a):
+            return DataSet(a.dataset)
+
+    for command in commands:
+        if args.command == command.name:
+            data = dataset_factory(args)
+            command.run(data, args)
+            break

@@ -178,3 +178,134 @@ def build_flann_index(descriptors: np.ndarray, config: Dict[str, Any]):
     by blocked matmul beats approximate trees; the 'index' is just the
     descriptor matrix."""
     return np.ascontiguousarray(descriptors, dtype=np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Extraction drivers (features.py:281-635)
+# ---------------------------------------------------------------------------
+
+
+def resized_image(image: np.ndarray, max_size: int) -> np.ndarray:
+    """Resize so the largest dimension equals max_size (features.py:281)."""
+    import cv2
+
+    h, w = image.shape[:2]
+    size = max(w, h)
+    if 0 < max_size < size:
+        dsize = w * max_size // size, h * max_size // size
+        return cv2.resize(image, dsize=dsize, interpolation=cv2.INTER_AREA)
+    return image
+
+
+def extract_features_dog(
+    image_gray: np.ndarray, config: Dict[str, Any], features_count: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """The TPU-native HAHOG/SIFT-class detector (ops/features.py), with the
+    reference's adaptive peak-threshold annealing loop
+    (extract_features_sift, features.py:372-406)."""
+    from opensfm_tpu.ops.features import extract_dog_features
+
+    peak = float(config.get("sift_peak_threshold", 0.1)) / 10.0
+    min_peak = 0.0005
+    while True:
+        points, desc = extract_dog_features(
+            image_gray, peak_threshold=peak, target_features=features_count
+        )
+        if len(points) >= features_count or peak <= min_peak:
+            break
+        peak = max(peak / 3.0, min_peak)
+        logger.debug("Reducing peak threshold to %f (%d pts)", peak, len(points))
+    return points, desc
+
+
+def extract_features_sift_cv(image, config, features_count):
+    """OpenCV SIFT (the reference's own SIFT path, features.py:364)."""
+    import cv2
+
+    sift = cv2.SIFT_create(
+        nfeatures=features_count,
+        edgeThreshold=config["sift_edge_threshold"],
+        sigma=config["sift_sigma"],
+    )
+    kp, desc = sift.detectAndCompute(image, None)
+    if desc is None:
+        return np.zeros((0, 4)), np.zeros((0, 128))
+    points = np.array([(k.pt[0], k.pt[1], k.size, k.angle) for k in kp])
+    return points, desc
+
+
+def extract_features_orb(image, config, features_count):
+    import cv2
+
+    orb = cv2.ORB_create(nfeatures=features_count)
+    kp = orb.detect(image, None)
+    kp, desc = orb.compute(image, kp)
+    if desc is None:
+        return np.zeros((0, 4)), np.zeros((0, 32))
+    points = np.array([(k.pt[0], k.pt[1], k.size, k.angle) for k in kp])
+    return points, desc
+
+
+def extract_features(
+    image: np.ndarray, config: Dict[str, Any], is_panorama: bool
+) -> FeaturesData:
+    """Detect features + colors in normalized coordinates
+    (features.py:566-635).  HAHOG maps to the JAX DoG kernel."""
+    import cv2
+
+    extraction_size = (
+        config["feature_process_size_panorama"]
+        if is_panorama
+        else config["feature_process_size"]
+    )
+    features_count = (
+        config["feature_min_frames_panorama"]
+        if is_panorama
+        else config["feature_min_frames"]
+    )
+
+    assert image.ndim in (2, 3)
+    image = resized_image(image, extraction_size)
+    if image.ndim == 3:
+        image_gray = cv2.cvtColor(image, cv2.COLOR_RGB2GRAY)
+    else:
+        image_gray = image
+        image = np.repeat(image_gray[:, :, None], 3, axis=2)
+
+    feature_type = str(config["feature_type"]).upper()
+    if feature_type in ("HAHOG", "SIFT"):
+        points, desc = extract_features_dog(image_gray, config, features_count)
+    elif feature_type == "SIFT_CV":
+        points, desc = extract_features_sift_cv(image_gray, config, features_count)
+    elif feature_type == "ORB":
+        points, desc = extract_features_orb(image_gray, config, features_count)
+    else:
+        raise ValueError(f"Unknown feature type {feature_type}")
+
+    if len(points) == 0:
+        return FeaturesData(
+            np.zeros((0, 4)), np.zeros((0, 128), dtype=np.float32),
+            np.zeros((0, 3)), None,
+        )
+
+    if config.get("feature_root") and feature_type in ("HAHOG", "SIFT", "SIFT_CV"):
+        desc = np.sqrt(np.maximum(desc, 0))
+        # uchar quantization (extract_features_hahog, features.py:526-534).
+        if feature_type in ("HAHOG", "SIFT") and config.get(
+            "hahog_normalize_to_uchar"
+        ):
+            desc = np.clip(desc * 362.0, 0, 255).round()
+    xs = np.clip(points[:, 0].round().astype(int), 0, image.shape[1] - 1)
+    ys = np.clip(points[:, 1].round().astype(int), 0, image.shape[0] - 1)
+    colors = image[ys, xs].astype(np.float64)
+
+    points = np.column_stack(
+        [
+            normalized_image_coordinates(
+                points[:, :2], image.shape[1], image.shape[0]
+            ),
+            points[:, 2] / max(image.shape[0], image.shape[1]),
+            points[:, 3] if points.shape[1] > 3 else np.zeros(len(points)),
+        ]
+    )
+    return FeaturesData(points, desc.astype(np.float32), colors, None)

@@ -1,0 +1,276 @@
+"""Candidate pair prefiltering: GPS distance, Delaunay graph, time, order.
+
+Mirrors reference `opensfm/pairs_selection.py` (match_candidates_from_
+metadata:581-687, by_distance:154, by_graph:220, by_time:526, by_order:562,
+ordered_pairs:798).  BoW/VLAD prefilters ride on descriptor means until the
+vocabulary kernels land (they are disabled in the default config).
+"""
+
+from __future__ import annotations
+
+import logging
+from collections import defaultdict
+from typing import Any, Dict, List, Set, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def has_gps_info(exif: Dict[str, Any]) -> bool:
+    return bool(
+        exif and "gps" in exif
+        and "latitude" in exif["gps"] and "longitude" in exif["gps"]
+    )
+
+
+def sorted_pair(im1: str, im2: str) -> Tuple[str, str]:
+    return (im1, im2) if im1 < im2 else (im2, im1)
+
+
+def ordered_pairs(
+    pairs: Set[Tuple[str, str]], images_ref: List[str]
+) -> List[Tuple[str, str]]:
+    """Orient pairs so the first element is a ref image
+    (pairs_selection.py:798-825)."""
+    per_image = defaultdict(list)
+    for im1, im2 in pairs:
+        per_image[im1].append(im2)
+        per_image[im2].append(im1)
+
+    ordered: Set[Tuple[str, str]] = set()
+    remaining = set(images_ref)
+    if len(remaining) > 0:
+        next_image = remaining.pop()
+        while next_image:
+            im1 = next_image
+            for im2 in per_image[im1]:
+                if (im2, im1) not in ordered:
+                    ordered.add((im1, im2))
+            next_image = remaining.pop() if remaining else None
+    return list(ordered)
+
+
+def _gps_positions(
+    images: List[str], exifs: Dict[str, Any], reference
+) -> Dict[str, np.ndarray]:
+    out = {}
+    for im in images:
+        gps = exifs[im]["gps"]
+        alt = gps.get("altitude", 2.0)
+        out[im] = np.array(
+            reference.to_topocentric(gps["latitude"], gps["longitude"], alt)
+        )
+    return out
+
+
+def match_candidates_by_distance(
+    images_ref: List[str], images_cand: List[str],
+    exifs: Dict[str, Any], reference,
+    max_neighbors: int, max_distance: float,
+) -> Set[Tuple[str, str]]:
+    """GPS-nearby pairs via cKDTree (pairs_selection.py:154-212)."""
+    from scipy import spatial
+
+    if max_neighbors <= 0 and max_distance <= 0:
+        return set()
+    max_neighbors = max_neighbors or 99999999
+    max_distance = max_distance or 99999999.0
+    k = min(len(images_cand), max_neighbors + 1)
+    if k <= 1:
+        return set()
+
+    pos_ref = _gps_positions(images_ref, exifs, reference)
+    pos_cand = _gps_positions(images_cand, exifs, reference)
+    cand_names = list(pos_cand.keys())
+    points = np.array([pos_cand[c] for c in cand_names])
+    tree = spatial.cKDTree(points)
+
+    pairs = set()
+    for im_ref, p in pos_ref.items():
+        distances, neighbors = tree.query(
+            p, k=k, distance_upper_bound=max_distance
+        )
+        if k == 1:
+            distances, neighbors = [distances], [neighbors]
+        for d, j in zip(np.atleast_1d(distances), np.atleast_1d(neighbors)):
+            if j >= len(cand_names):
+                continue
+            im_cand = cand_names[j]
+            if im_cand != im_ref:
+                pairs.add(sorted_pair(im_ref, im_cand))
+    return pairs
+
+
+def match_candidates_by_graph(
+    images_ref: List[str], images_cand: List[str],
+    exifs: Dict[str, Any], reference, rounds: int,
+) -> Set[Tuple[str, str]]:
+    """Jittered-Delaunay rounds over GPS positions
+    (pairs_selection.py:220-282)."""
+    if len(images_ref) < 4 or rounds < 1:
+        return set()
+    from scipy import spatial
+
+    images = sorted(set(images_ref + images_cand))
+    positions = _gps_positions(images, exifs, reference)
+    points = np.array([positions[im][:2] for im in images])
+
+    pairs = set()
+    rng = np.random.default_rng(42)
+    scale = max(np.std(points, axis=0).max(), 1e-6)
+    for r in range(rounds):
+        jitter = rng.normal(0, 0.01 * scale, points.shape) if r else 0.0
+        try:
+            tri = spatial.Delaunay(points + jitter)
+        except Exception:
+            continue
+        for simplex in tri.simplices:
+            for i in range(3):
+                for j in range(i + 1, 3):
+                    a, b = images[simplex[i]], images[simplex[j]]
+                    if a != b:
+                        pairs.add(sorted_pair(a, b))
+    return pairs
+
+
+def match_candidates_by_time(
+    images_ref: List[str], images_cand: List[str],
+    exifs: Dict[str, Any], max_neighbors: int,
+) -> Set[Tuple[str, str]]:
+    """Capture-time neighbors (pairs_selection.py:526-559)."""
+    if max_neighbors <= 0:
+        return set()
+    images = sorted(set(images_ref + images_cand))
+    times = np.array([[exifs[im].get("capture_time", 0.0)] for im in images])
+    from scipy import spatial
+
+    tree = spatial.cKDTree(times)
+    k = min(len(images), max_neighbors + 1)
+    pairs = set()
+    for i, im_ref in enumerate(images):
+        if im_ref not in images_ref:
+            continue
+        _, neighbors = tree.query(times[i], k=k)
+        for j in np.atleast_1d(neighbors):
+            if j < len(images) and images[j] != im_ref:
+                pairs.add(sorted_pair(im_ref, images[j]))
+    return pairs
+
+
+def match_candidates_by_order(
+    images_ref: List[str], images_cand: List[str], max_neighbors: int
+) -> Set[Tuple[str, str]]:
+    """Filename-order neighbors (pairs_selection.py:562-578)."""
+    if max_neighbors <= 0:
+        return set()
+    images = sorted(set(images_ref + images_cand))
+    pairs = set()
+    for i, im in enumerate(images):
+        if im not in images_ref:
+            continue
+        a = max(0, i - max_neighbors)
+        b = min(len(images), i + max_neighbors + 1)
+        for j in range(a, b):
+            if images[j] != im:
+                pairs.add(sorted_pair(im, images[j]))
+    return pairs
+
+
+def match_candidates_with_bow(
+    data, images_ref, images_cand, exifs, reference,
+    max_neighbors, gps_distance, gps_neighbors, other_cameras,
+) -> Set[Tuple[str, str]]:
+    """BoW-similarity neighbors — not yet vocabulary-based; returns empty
+    until the visual-word kernels land (disabled by default config)."""
+    if max_neighbors <= 0:
+        return set()
+    logger.warning("BoW pair selection not yet implemented; skipping.")
+    return set()
+
+
+def match_candidates_with_vlad(
+    data, images_ref, images_cand, exifs, reference,
+    max_neighbors, gps_distance, gps_neighbors, other_cameras, histograms,
+) -> Set[Tuple[str, str]]:
+    if max_neighbors <= 0:
+        return set()
+    logger.warning("VLAD pair selection not yet implemented; skipping.")
+    return set()
+
+
+def match_candidates_from_metadata(
+    images_ref: List[str], images_cand: List[str],
+    exifs: Dict[str, Any], data, config_override: Dict[str, Any],
+) -> Tuple[List[Tuple[str, str]], Dict[str, Any]]:
+    """Union of all enabled pair-selection strategies
+    (pairs_selection.py:581-687)."""
+    config = dict(data.config)
+    config.update(config_override)
+
+    max_distance = config["matching_gps_distance"]
+    gps_neighbors = config["matching_gps_neighbors"]
+    graph_rounds = config["matching_graph_rounds"]
+    time_neighbors = config["matching_time_neighbors"]
+    order_neighbors = config["matching_order_neighbors"]
+    bow_neighbors = config["matching_bow_neighbors"]
+    vlad_neighbors = config["matching_vlad_neighbors"]
+
+    data.init_reference()
+    reference = data.load_reference()
+
+    if not all(map(has_gps_info, exifs.values())):
+        if gps_neighbors != 0:
+            logger.warning(
+                "Not all images have GPS info. Disabling matching_gps_neighbors."
+            )
+        gps_neighbors = 0
+        max_distance = 0
+        graph_rounds = 0
+
+    images_ref = sorted(images_ref)
+
+    if (
+        max_distance == gps_neighbors == time_neighbors == order_neighbors
+        == bow_neighbors == vlad_neighbors == graph_rounds == 0
+    ):
+        d = t = g = o = b = v = set()
+        pairs = {
+            sorted_pair(i, j)
+            for i in images_ref
+            for j in images_cand
+            if i != j
+        }
+    else:
+        d = match_candidates_by_distance(
+            images_ref, images_cand, exifs, reference, gps_neighbors, max_distance
+        )
+        g = match_candidates_by_graph(
+            images_ref, images_cand, exifs, reference, graph_rounds
+        )
+        t = match_candidates_by_time(images_ref, images_cand, exifs, time_neighbors)
+        o = match_candidates_by_order(images_ref, images_cand, order_neighbors)
+        b = match_candidates_with_bow(
+            data, images_ref, images_cand, exifs, reference,
+            bow_neighbors, config["matching_bow_gps_distance"],
+            config["matching_bow_gps_neighbors"],
+            config["matching_bow_other_cameras"],
+        )
+        v = match_candidates_with_vlad(
+            data, images_ref, images_cand, exifs, reference,
+            vlad_neighbors, config["matching_vlad_gps_distance"],
+            config["matching_vlad_gps_neighbors"],
+            config["matching_vlad_other_cameras"], {},
+        )
+        pairs = d | g | t | o | set(b) | set(v)
+
+    pairs = ordered_pairs(pairs, images_ref)
+    report = {
+        "num_pairs_distance": len(d),
+        "num_pairs_graph": len(g),
+        "num_pairs_time": len(t),
+        "num_pairs_order": len(o),
+        "num_pairs_bow": len(b),
+        "num_pairs_vlad": len(v),
+    }
+    return pairs, report

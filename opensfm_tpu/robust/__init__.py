@@ -13,6 +13,7 @@ from opensfm_tpu.robust.ransac import (  # noqa: F401
     ransac_absolute_pose,
     ransac_absolute_pose_known_rotation,
     ransac_essential,
+    ransac_fundamental,
     ransac_homography,
     ransac_line,
     ransac_relative_pose,

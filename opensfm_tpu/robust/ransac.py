@@ -363,6 +363,79 @@ def ransac_similarity(
     )
 
 
+def _fundamental_8pt(x1, x2, mask=None):
+    """Normalized 8-point fundamental matrix from 2D point pairs [N,2]."""
+    def normalize(x, m):
+        if m is None:
+            mean = jnp.mean(x, axis=0)
+            std = jnp.std(x, axis=0) + 1e-12
+        else:
+            w = m.astype(x.dtype)[:, None]
+            n = jnp.maximum(jnp.sum(w), 1.0)
+            mean = jnp.sum(x * w, axis=0) / n
+            std = jnp.sqrt(jnp.sum(w * (x - mean) ** 2, axis=0) / n) + 1e-12
+        T = jnp.array(
+            [
+                [1.0 / std[0], 0.0, -mean[0] / std[0]],
+                [0.0, 1.0 / std[1], -mean[1] / std[1]],
+                [0.0, 0.0, 1.0],
+            ],
+            dtype=x.dtype,
+        )
+        xh = jnp.concatenate([x, jnp.ones_like(x[:, :1])], axis=1) @ T.T
+        return xh, T
+
+    x1h, T1 = normalize(x1, mask)
+    x2h, T2 = normalize(x2, mask)
+    A = jnp.einsum("nj,nk->njk", x2h, x1h).reshape(x1.shape[0], 9)
+    if mask is not None:
+        A = A * mask[:, None].astype(A.dtype)
+    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+    F = Vt[-1].reshape(3, 3)
+    # Enforce rank 2.
+    U, S, Vt2 = jnp.linalg.svd(F)
+    F = (U * jnp.stack([S[0], S[1], jnp.zeros_like(S[2])])[None, :]) @ Vt2
+    F = T2.T @ F @ T1
+    norm = jnp.linalg.norm(F)
+    return F / jnp.where(norm < 1e-15, 1.0, norm)
+
+
+def _fundamental_minimal(x1, x2):
+    F = _fundamental_8pt(x1, x2)
+    return F[None], jnp.ones(1, dtype=bool)
+
+
+def _fundamental_error(F, x1, x2):
+    """Sampson distance (first-order geometric error)."""
+    x1h = jnp.concatenate([x1, jnp.ones_like(x1[:, :1])], axis=1)
+    x2h = jnp.concatenate([x2, jnp.ones_like(x2[:, :1])], axis=1)
+    Fx1 = x1h @ F.T  # [N,3]
+    Ftx2 = x2h @ F
+    num = jnp.sum(x2h * Fx1, axis=1) ** 2
+    den = Fx1[:, 0] ** 2 + Fx1[:, 1] ** 2 + Ftx2[:, 0] ** 2 + Ftx2[:, 1] ** 2
+    return jnp.sqrt(num / jnp.maximum(den, 1e-15))
+
+
+def _fundamental_nonminimal(F, x1, x2, mask):
+    return _fundamental_8pt(x1, x2, mask=mask)
+
+
+_fundamental_core = make_ransac_core(
+    _fundamental_minimal, _fundamental_error, _fundamental_nonminimal, 8
+)
+
+
+def ransac_fundamental(
+    x1, x2, threshold: float, iterations: int = 1000, seed: int = 42, mask=None
+) -> RansacResult:
+    """Fundamental matrix RANSAC from 2D normalized image points; Sampson
+    distance threshold (replaces cv2.findFundamentalMat in robust_match)."""
+    return _run(
+        _fundamental_core, np.asarray(x1), np.asarray(x2), float(threshold),
+        iterations, 8, seed, mask,
+    )
+
+
 def _homography_dlt(x1, x2, mask=None):
     """DLT homography from 2D point pairs: x2 ~ H x1 (rows [N,2])."""
     n = x1.shape[0]
