@@ -9,12 +9,24 @@ from opensfm_tpu.commands.command_runner import command_runner  # noqa: F401
 
 def opensfm_commands():
     from opensfm_tpu.commands import (
+        bundle,
+        compute_depthmaps,
+        compute_statistics,
         create_tracks,
         detect_features,
+        export_bundler,
+        export_colmap,
+        export_geocoords,
         export_ply,
+        export_report,
+        export_visualsfm,
+        extend_reconstruction,
         extract_metadata,
         match_features,
+        mesh,
         reconstruct,
+        reconstruct_from_prior,
+        undistort,
     )
 
     return [
@@ -23,5 +35,17 @@ def opensfm_commands():
         match_features.Command(),
         create_tracks.Command(),
         reconstruct.Command(),
+        bundle.Command(),
+        reconstruct_from_prior.Command(),
+        extend_reconstruction.Command(),
+        mesh.Command(),
+        undistort.Command(),
+        compute_depthmaps.Command(),
+        compute_statistics.Command(),
+        export_report.Command(),
         export_ply.Command(),
+        export_colmap.Command(),
+        export_bundler.Command(),
+        export_visualsfm.Command(),
+        export_geocoords.Command(),
     ]
