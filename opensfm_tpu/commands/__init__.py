@@ -9,9 +9,11 @@ from opensfm_tpu.commands.command_runner import command_runner  # noqa: F401
 
 def opensfm_commands():
     from opensfm_tpu.commands import (
+        align_submodels,
         bundle,
         compute_depthmaps,
         compute_statistics,
+        create_submodels,
         create_tracks,
         detect_features,
         export_bundler,
@@ -48,4 +50,6 @@ def opensfm_commands():
         export_bundler.Command(),
         export_visualsfm.Command(),
         export_geocoords.Command(),
+        create_submodels.Command(),
+        align_submodels.Command(),
     ]

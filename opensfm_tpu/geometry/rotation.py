@@ -91,15 +91,20 @@ def matrix_to_quat(R: jnp.ndarray) -> jnp.ndarray:
 
 
 def quat_to_rotvec(q: jnp.ndarray) -> jnp.ndarray:
-    """Unit quaternion (w, x, y, z) -> angle-axis [..., 3]."""
+    """Unit quaternion (w, x, y, z) -> angle-axis [..., 3].
+
+    Differentiable at the identity: the norm is computed through a guarded
+    sqrt so gradients stay finite at v = 0.
+    """
     w = jnp.clip(q[..., 0], -1.0, 1.0)
     v = q[..., 1:]
-    sin_half = jnp.linalg.norm(v, axis=-1)
-    half = jnp.arctan2(sin_half, w)
-    small = sin_half < 1e-9
-    safe_sin = jnp.where(small, jnp.ones_like(sin_half), sin_half)
+    n2 = jnp.sum(v * v, axis=-1)
+    small = n2 < 1e-18
+    safe_n2 = jnp.where(small, jnp.ones_like(n2), n2)
+    sin_half = jnp.sqrt(safe_n2)
+    half = jnp.arctan2(jnp.where(small, jnp.zeros_like(sin_half), sin_half), w)
     # theta/sin(theta/2) ~ 2 + theta^2/12 for small angles
-    scale = jnp.where(small, 2.0 + (2.0 * half) ** 2 / 12.0, 2.0 * half / safe_sin)
+    scale = jnp.where(small, 2.0 + (2.0 * half) ** 2 / 12.0, 2.0 * half / sin_half)
     return v * scale[..., None]
 
 

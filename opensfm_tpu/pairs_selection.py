@@ -177,26 +177,101 @@ def match_candidates_by_order(
     return pairs
 
 
+def preempt_candidates(
+    images_ref: List[str], images_cand: List[str],
+    exifs: Dict[str, Any], reference,
+    max_gps_neighbors: int, max_gps_distance: float,
+):
+    """GPS-preempted candidate set per ref image (pairs_selection.py:433)."""
+    preempted_cand = {im: images_cand for im in images_ref}
+    if max_gps_distance > 0 or max_gps_neighbors > 0:
+        gps_pairs = match_candidates_by_distance(
+            images_ref, images_cand, exifs, reference,
+            max_gps_neighbors, max_gps_distance,
+        )
+        preempted_cand = defaultdict(list)
+        for p in gps_pairs:
+            if p[0] in images_ref:
+                preempted_cand[p[0]].append(p[1])
+            if p[1] in images_ref:
+                preempted_cand[p[1]].append(p[0])
+    need_load = set(images_ref)
+    for cands in preempted_cand.values():
+        need_load.update(cands)
+    return preempted_cand, need_load
+
+
+def _closest_by_histogram(
+    preempted_cand: Dict[str, List[str]],
+    histograms: Dict[str, np.ndarray],
+    max_neighbors: int,
+    distance_fn,
+) -> Set[Tuple[str, str]]:
+    pairs = set()
+    for im, cands in preempted_cand.items():
+        if im not in histograms:
+            continue
+        scored = []
+        for other in cands:
+            if other == im or other not in histograms:
+                continue
+            scored.append((distance_fn(histograms[im], histograms[other]), other))
+        scored.sort()
+        for _, other in scored[:max_neighbors]:
+            pairs.add(sorted_pair(im, other))
+    return pairs
+
+
 def match_candidates_with_bow(
     data, images_ref, images_cand, exifs, reference,
     max_neighbors, gps_distance, gps_neighbors, other_cameras,
 ) -> Set[Tuple[str, str]]:
-    """BoW-similarity neighbors — not yet vocabulary-based; returns empty
-    until the visual-word kernels land (disabled by default config)."""
+    """BoW tf-idf similarity neighbors (pairs_selection.py:285-348); the
+    vocabulary is trained from the dataset's own descriptors."""
     if max_neighbors <= 0:
         return set()
-    logger.warning("BoW pair selection not yet implemented; skipping.")
-    return set()
+    from opensfm_tpu import bow as bow_mod
+    from opensfm_tpu import feature_loader
+
+    preempted_cand, need_load = preempt_candidates(
+        images_ref, images_cand, exifs, reference, gps_neighbors, gps_distance
+    )
+    bag = bow_mod.load_vocabulary(data)
+    histograms = {}
+    for im in need_load:
+        fd = feature_loader.instance.load_all_data(data, im, masked=True)
+        if fd is None or fd.descriptors is None:
+            continue
+        words = bag.map_to_words(fd.descriptors.astype(np.float32), 1)
+        histograms[im] = bag.histogram(words)
+    return _closest_by_histogram(
+        preempted_cand, histograms, max_neighbors,
+        lambda a, b: float(np.abs(a - b).sum()),
+    )
 
 
 def match_candidates_with_vlad(
     data, images_ref, images_cand, exifs, reference,
     max_neighbors, gps_distance, gps_neighbors, other_cameras, histograms,
 ) -> Set[Tuple[str, str]]:
+    """VLAD similarity neighbors (pairs_selection.py:351-430)."""
     if max_neighbors <= 0:
         return set()
-    logger.warning("VLAD pair selection not yet implemented; skipping.")
-    return set()
+    from opensfm_tpu import vlad as vlad_mod
+
+    preempted_cand, need_load = preempt_candidates(
+        images_ref, images_cand, exifs, reference, gps_neighbors, gps_distance
+    )
+    hists = dict(histograms)
+    for im in need_load:
+        if im not in hists:
+            h = vlad_mod.instance.vlad_histogram(data, im)
+            if h is not None:
+                hists[im] = h
+    return _closest_by_histogram(
+        preempted_cand, hists, max_neighbors,
+        lambda a, b: float(np.linalg.norm(a - b)),
+    )
 
 
 def match_candidates_from_metadata(
