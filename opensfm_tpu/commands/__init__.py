@@ -13,13 +13,16 @@ def opensfm_commands():
         bundle,
         compute_depthmaps,
         compute_statistics,
+        create_rig,
         create_submodels,
         create_tracks,
         detect_features,
         export_bundler,
         export_colmap,
         export_geocoords,
+        export_openmvs,
         export_ply,
+        export_pmvs,
         export_report,
         export_visualsfm,
         extend_reconstruction,
@@ -50,6 +53,9 @@ def opensfm_commands():
         export_bundler.Command(),
         export_visualsfm.Command(),
         export_geocoords.Command(),
+        export_pmvs.Command(),
+        export_openmvs.Command(),
         create_submodels.Command(),
         align_submodels.Command(),
+        create_rig.Command(),
     ]

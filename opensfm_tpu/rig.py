@@ -121,6 +121,172 @@ def compute_relative_pose(
     return rig_cameras
 
 
+def group_instances(
+    rig_instances: Dict[str, TRigInstance],
+) -> Dict[str, List[TRigInstance]]:
+    """Group instances by their rig-camera signature (rig.py:118-127)."""
+    per_rig_camera_group: Dict[str, List[TRigInstance]] = {}
+    for cameras in rig_instances.values():
+        cameras_group = ", ".join(sorted({c for _, c in cameras}))
+        per_rig_camera_group.setdefault(cameras_group, []).append(cameras)
+    return per_rig_camera_group
+
+
+def propose_subset_dataset_from_instances(
+    data, rig_instances: Dict[str, TRigInstance], name: str
+):
+    """Yield subset datasets with GPS-connected rig instances
+    (rig.py:130-207)."""
+    import networkx as nx
+    from scipy import spatial
+
+    per_rig_camera_group = group_instances(rig_instances)
+    data.init_reference()
+    reference = data.load_reference()
+
+    instances_to_pick: Dict[str, List[TRigInstance]] = {}
+    for key, instances in per_rig_camera_group.items():
+        gpses = []
+        for i, instance in enumerate(instances):
+            all_gps = []
+            for image, _ in instance:
+                gps = data.load_exif(image).get("gps", {})
+                if "latitude" not in gps:
+                    continue
+                all_gps.append(
+                    reference.to_topocentric(gps["latitude"], gps["longitude"], 0)
+                )
+            if all_gps:
+                gpses.append((i, np.average(np.array(all_gps), axis=0)))
+        if not gpses:
+            instances_to_pick[key] = instances
+            continue
+        tree = spatial.cKDTree([x[1] for x in gpses])
+        nn = min(6, len(gpses))
+        instances_graph = nx.Graph()
+        for i, gps in gpses:
+            distances, neighbors = tree.query(gps, k=nn)
+            for d, n in zip(np.atleast_1d(distances), np.atleast_1d(neighbors)):
+                if i == n or n >= len(gpses):
+                    continue
+                instances_graph.add_edge(i, gpses[n][0], weight=d)
+        components = sorted(
+            nx.algorithms.components.connected_components(instances_graph),
+            key=len, reverse=True,
+        )
+        if components:
+            largest = list(components[0])
+            instances_to_pick[key] = [instances[i] for i in largest]
+        else:
+            instances_to_pick[key] = instances
+
+    rng = np.random.default_rng(42)
+    subset_size = data.config["rig_calibration_subset_size"]
+    while True:
+        picked = []
+        for key, instances in instances_to_pick.items():
+            if len(instances) <= subset_size:
+                picked += instances
+            else:
+                idx = rng.choice(len(instances), subset_size, replace=False)
+                picked += [instances[i] for i in idx]
+        images = [image for instance in picked for image, _ in instance]
+        subset = data.subset(name, images)
+        yield subset, picked
+
+
+def count_reconstructed_instances(
+    instances: List[TRigInstance], reconstruction
+) -> int:
+    """Instances whose every shot was reconstructed (rig.py:390-401)."""
+    instances_map = {}
+    instances_count = {}
+    for i, instance in enumerate(instances):
+        instances_count[i] = len(instance)
+        for shot_id, _ in instance:
+            instances_map[shot_id] = i
+    for s in reconstruction.shots:
+        if s in instances_map:
+            instances_count[instances_map[s]] -= 1
+    return len(instances) - sum(1 for c in instances_count.values() if c > 0)
+
+
+def create_rigs_with_pattern(data, patterns: TRigPatterns) -> None:
+    """Pattern-group images into rigs + ad-hoc SfM to calibrate rig camera
+    relative poses (rig.py:298-387)."""
+    from opensfm_tpu.actions import (
+        create_tracks,
+        detect_features,
+        extract_metadata,
+        match_features,
+        reconstruct,
+    )
+
+    instances_per_rig, single_shots = create_instances_with_patterns(
+        data.images(), patterns
+    )
+    logger.info(
+        "Found %d rig instances and %d single shots via pattern matching",
+        len(instances_per_rig), len(single_shots),
+    )
+
+    count = 0
+    max_rounds = data.config["rig_calibration_max_rounds"]
+    best_rig_cameras = None
+    for subset_data, instances in propose_subset_dataset_from_instances(
+        data, instances_per_rig, "rig_calibration"
+    ):
+        if count >= max_rounds:
+            break
+        count += 1
+        if len(subset_data.images()) == 0:
+            continue
+        logger.info(
+            "Running SfM on a subset of %d images (round %d/%d)",
+            len(subset_data.images()), count, max_rounds,
+        )
+        extract_metadata.run_dataset(subset_data)
+        detect_features.run_dataset(subset_data)
+        match_features.run_dataset(subset_data)
+        create_tracks.run_dataset(subset_data)
+        reconstruct.run_dataset(subset_data, "incremental")
+
+        reconstructions = subset_data.load_reconstruction()
+        if not reconstructions:
+            logger.error("No reconstruction for the rig calibration subset.")
+            continue
+        reconstruction = reconstructions[0]
+
+        rig_cameras = create_rig_cameras_from_reconstruction(
+            reconstruction, list(instances_per_rig.values())
+        )
+        found_cameras = {c for i in instances_per_rig.values() for _, c in i}
+        if set(rig_cameras.keys()) != found_cameras:
+            logger.error(
+                "Calibrated %d rig cameras but %d requested.",
+                len(rig_cameras), len(found_cameras),
+            )
+            continue
+
+        reconstructed = count_reconstructed_instances(instances, reconstruction)
+        if reconstructed < len(instances) * data.config[
+            "rig_calibration_completeness"
+        ]:
+            logger.error(
+                "Not enough reconstructed instances: %d / %d",
+                reconstructed, len(instances),
+            )
+            continue
+        best_rig_cameras = rig_cameras
+        break
+
+    if best_rig_cameras is not None:
+        data.save_rig_cameras(best_rig_cameras)
+        data.save_rig_assignments(list(instances_per_rig.values()))
+    else:
+        logger.error("Could not calibrate rigs from image subsets")
+
+
 def create_rig_cameras_from_reconstruction(
     reconstruction: types.Reconstruction, instances: List[TRigInstance]
 ) -> Dict[str, pymap.RigCamera]:
