@@ -12,6 +12,12 @@ def command_runner(all_commands_types, dataset_factory=None) -> None:
         level=logging.INFO,
         format="%(asctime)s %(levelname)s: %(message)s",
     )
+    # Host-side geometry (pose chains, triangulation, LM bundle) carries the
+    # reference's float64 contract; enable x64 before any jax import is used.
+    # Device kernels that want f32/bf16 request those dtypes explicitly.
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
     parser = argparse.ArgumentParser(
         description="opensfm_tpu — TPU-native structure from motion"
     )

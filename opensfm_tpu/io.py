@@ -487,17 +487,33 @@ def write_ground_control_points(gcp: List[GroundControlPoint], fileobj: IO) -> N
 # ---------------------------------------------------------------------------
 
 
+def _json_default(o):
+    """Coerce numpy scalars/arrays that leak into JSON trees (np.float32 is
+    not a Python float subclass, so json.dump rejects it)."""
+    if isinstance(o, np.integer):
+        return int(o)
+    if isinstance(o, np.floating):
+        return float(o)
+    if isinstance(o, np.ndarray):
+        return o.tolist()
+    raise TypeError(
+        f"Object of type {o.__class__.__name__} is not JSON serializable"
+    )
+
+
 def json_dump(data, fout: TextIO, minify: bool = False) -> None:
     if minify:
-        json.dump(data, fout, indent=None, separators=(",", ":"), sort_keys=True)
+        json.dump(data, fout, indent=None, separators=(",", ":"),
+                  sort_keys=True, default=_json_default)
     else:
-        json.dump(data, fout, indent=4, sort_keys=True)
+        json.dump(data, fout, indent=4, sort_keys=True, default=_json_default)
 
 
 def json_dumps(data, minify: bool = False) -> str:
     if minify:
-        return json.dumps(data, indent=None, separators=(",", ":"), sort_keys=True)
-    return json.dumps(data, indent=4, sort_keys=True)
+        return json.dumps(data, indent=None, separators=(",", ":"),
+                          sort_keys=True, default=_json_default)
+    return json.dumps(data, indent=4, sort_keys=True, default=_json_default)
 
 
 def json_load(fp) -> Any:

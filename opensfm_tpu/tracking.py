@@ -75,13 +75,17 @@ def create_tracks_manager(
 ) -> TracksManager:
     """Union-find merge of pairwise matches into tracks
     (tracking.py:72-150)."""
-    depths = depths or {}
-    uf = UnionFind()
-    for im1, im2 in matches:
-        for f1, f2 in matches[im1, im2]:
-            uf.union((im1, int(f1)), (im2, int(f2)))
+    from opensfm_tpu import native
 
-    tracks = [t for t in uf.clusters() if _good_track(t, min_length)]
+    depths = depths or {}
+    if native.NATIVE_AVAILABLE and matches:
+        tracks = _link_tracks_native(features, matches, min_length)
+    else:
+        uf = UnionFind()
+        for im1, im2 in matches:
+            for f1, f2 in matches[im1, im2]:
+                uf.union((im1, int(f1)), (im2, int(f2)))
+        tracks = [t for t in uf.clusters() if _good_track(t, min_length)]
 
     tracks_manager = TracksManager()
     num_observations = 0
@@ -119,6 +123,83 @@ def create_tracks_manager(
         len(tracks), num_observations,
     )
     return tracks_manager
+
+
+def _link_tracks_native(
+    features: Dict[str, np.ndarray],
+    matches: Dict[Tuple[str, str], List[Tuple[int, int]]],
+    min_length: int,
+) -> List[List[Tuple[str, int]]]:
+    """Vectorized track linking through the C++ union-find.
+
+    Nodes are (image, feature) pairs flattened to integers via per-image
+    offsets; edges come straight from the match arrays with no Python loop
+    over individual correspondences.
+    """
+    from opensfm_tpu import native
+
+    images = sorted({im for pair in matches for im in pair})
+    image_index = {im: i for i, im in enumerate(images)}
+
+    # Per-image feature-count bound (features when known, else max matched id).
+    counts = np.zeros(len(images), dtype=np.int64)
+    for i, im in enumerate(images):
+        if im in features:
+            counts[i] = len(features[im])
+    for (im1, im2), m in matches.items():
+        m = np.asarray(m)
+        if len(m) == 0:
+            continue
+        i1, i2 = image_index[im1], image_index[im2]
+        counts[i1] = max(counts[i1], int(m[:, 0].max()) + 1)
+        counts[i2] = max(counts[i2], int(m[:, 1].max()) + 1)
+    offsets = np.zeros(len(images), dtype=np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+    n_nodes = int(counts.sum())
+    if n_nodes == 0:
+        return []
+
+    edge_chunks_u, edge_chunks_v = [], []
+    for (im1, im2), m in matches.items():
+        m = np.asarray(m, dtype=np.int64)
+        if len(m) == 0:
+            continue
+        edge_chunks_u.append(offsets[image_index[im1]] + m[:, 0])
+        edge_chunks_v.append(offsets[image_index[im2]] + m[:, 1])
+    if not edge_chunks_u:
+        return []
+    u = np.concatenate(edge_chunks_u)
+    v = np.concatenate(edge_chunks_v)
+
+    labels_all, _ = native.union_find_components(u, v, n_nodes)
+
+    nodes = np.unique(np.concatenate([u, v]))
+    labels = labels_all[nodes].astype(np.int64)
+    img_idx = np.searchsorted(offsets, nodes, side="right") - 1
+    feat_idx = nodes - offsets[img_idx]
+
+    # Good track: >= min_length observations, one observation per image.
+    sizes = np.bincount(labels)
+    pair_key = labels * len(images) + img_idx
+    uniq_key, key_counts = np.unique(pair_key, return_counts=True)
+    bad = np.zeros(sizes.shape[0], dtype=bool)
+    bad[np.unique(uniq_key[key_counts > 1] // len(images))] = True
+    keep = (sizes[labels] >= min_length) & ~bad[labels]
+
+    labels, img_idx, feat_idx = labels[keep], img_idx[keep], feat_idx[keep]
+    if labels.size == 0:
+        return []
+    order = np.argsort(labels, kind="stable")
+    labels, img_idx, feat_idx = labels[order], img_idx[order], feat_idx[order]
+    boundaries = np.flatnonzero(np.diff(labels)) + 1
+    tracks: List[List[Tuple[str, int]]] = []
+    for grp_img, grp_feat in zip(
+        np.split(img_idx, boundaries), np.split(feat_idx, boundaries)
+    ):
+        tracks.append(
+            [(images[i], int(f)) for i, f in zip(grp_img, grp_feat)]
+        )
+    return tracks
 
 
 def common_tracks(
