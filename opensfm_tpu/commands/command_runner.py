@@ -15,9 +15,17 @@ def command_runner(all_commands_types, dataset_factory=None) -> None:
     # Host-side geometry (pose chains, triangulation, LM bundle) carries the
     # reference's float64 contract; enable x64 before any jax import is used.
     # Device kernels that want f32/bf16 request those dtypes explicitly.
+    import os
+
     import jax
 
     jax.config.update("jax_enable_x64", True)
+    # Some platform plugins ignore the JAX_PLATFORMS env var during their
+    # own registration; honor it explicitly so `JAX_PLATFORMS=cpu` always
+    # pins the CLI to the host backend.
+    env_platforms = os.environ.get("JAX_PLATFORMS")
+    if env_platforms:
+        jax.config.update("jax_platforms", env_platforms)
     parser = argparse.ArgumentParser(
         description="opensfm_tpu — TPU-native structure from motion"
     )

@@ -23,11 +23,17 @@ logger = logging.getLogger(__name__)
 
 def run_features_processing(data, images: List[str], force: bool) -> None:
     """Extract features for all images (features_processing.py:48-109)."""
+    need_words = (
+        data.config.get("matcher_type", "").upper() == "WORDS"
+        or data.config.get("matching_bow_neighbors", 0) > 0
+    )
     to_process = [
         im for im in images if force or not data.features_exist(im)
     ]
     if not to_process:
         logger.info("All features already extracted.")
+        if need_words:
+            _assign_words(data, images, force)
         return
 
     read_queue: "queue.Queue" = queue.Queue(maxsize=4)
@@ -58,6 +64,35 @@ def run_features_processing(data, images: List[str], force: bool) -> None:
         logger.info("Extracted features for %s (%d/%d)", image, processed,
                     len(to_process))
     thread.join()
+
+    if need_words:
+        _assign_words(data, images, force)
+
+
+def _assign_words(data, images: List[str], force: bool) -> None:
+    """Assign each image's descriptors to their closest vocabulary words
+    (features_processing.py:269-336).
+
+    The reference maps against a pretrained FLANN vocabulary per image during
+    detection; here the vocabulary is trained from the dataset's own
+    descriptors (bow.py), so word assignment is a second pass after all
+    features exist."""
+    from opensfm_tpu import bow
+
+    to_assign = [im for im in images if force or not data.words_exist(im)]
+    if not to_assign:
+        return
+    bows = bow.load_vocabulary(data)
+    n_closest = data.config.get("bow_words_to_match", 50)
+    for image in to_assign:
+        fd = data.load_features(image)
+        if fd is None or fd.descriptors is None:
+            continue
+        words = bows.map_to_words(
+            fd.descriptors, n_closest, data.config.get("bow_matcher_type", "FLANN")
+        )
+        data.save_words(image, words)
+        logger.info("Assigned %d-closest words for %s", n_closest, image)
 
 
 def detect(data, image: str, image_array: np.ndarray) -> None:
