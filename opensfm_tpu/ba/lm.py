@@ -102,6 +102,28 @@ class BAProblem:
     loss: str = "SoftLOneLoss"
     loss_threshold: float = 1.0
 
+    # Up-vector priors (AddAbsoluteUpVector, bundle_adjuster.cc:957-972):
+    # residual (R_cam_to_world(shot) @ up_vec - z_world) / sd, Cauchy(1).
+    up_inst: Optional[np.ndarray] = None  # [KU] int
+    up_rigcam: Optional[np.ndarray] = None  # [KU] int
+    up_vec: Optional[np.ndarray] = None  # [KU, 3] unit, camera frame
+    up_inv_sd: Optional[np.ndarray] = None  # [KU]
+
+    # Absolute pan/tilt/roll priors (bundle_adjuster.cc:974-1027): angle of
+    # the shot's world-frame viewing direction, Cauchy(1).
+    ang_kind: Optional[np.ndarray] = None  # [KA] int: 0 pan, 1 tilt, 2 roll
+    ang_inst: Optional[np.ndarray] = None  # [KA] int
+    ang_rigcam: Optional[np.ndarray] = None  # [KA] int
+    ang_value: Optional[np.ndarray] = None  # [KA] radians
+    ang_inv_sd: Optional[np.ndarray] = None  # [KA]
+
+    # Per-observation depth priors (RelativeDepthError,
+    # error/relative_depth_error.h:11-45): (depth(Xc) - depth) / sd with the
+    # projection robust loss; inv_sd == 0 disables a row.
+    obs_depth: Optional[np.ndarray] = None  # [O]
+    obs_depth_inv_sd: Optional[np.ndarray] = None  # [O]
+    obs_depth_radial: Optional[np.ndarray] = None  # [O] bool
+
     def counts(self):
         return (
             len(self.inst), len(self.rigcam), len(self.cam), len(self.points),
@@ -119,6 +141,10 @@ class BAResult:
     final_cost: float = 0.0
     iterations: int = 0
     lam: float = 0.0
+    # Marginal 6x6 covariances per rig instance (ComputeCovariances,
+    # bundle_adjuster.cc:1123-1194); None unless requested.
+    covariances: Optional[np.ndarray] = None  # [NI, 6, 6]
+    covariance_valid: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -137,20 +163,26 @@ def _origin(pose6):
     return -rot.rotate(-pose6[..., :3], pose6[..., 3:6])
 
 
-@partial(jax.jit, static_argnames=("ptype", "loss", "loss_threshold", "pmax"))
-def _residual_data(state, data, ptype, loss, loss_threshold, pmax):
+@partial(
+    jax.jit,
+    static_argnames=("ptype", "loss", "loss_threshold", "pmax", "with_depth"),
+)
+def _residual_data(state, data, ptype, loss, loss_threshold, pmax,
+                   with_depth=False):
     """Per-observation weighted residuals + Jacobians + robust IRLS weights.
 
     `ptype` is either a single projection type string or a tuple of
     (type, start, end) static segments over type-sorted observations
-    (mixed-camera problems).  Returns r[O,2], Jc[O,2,28], Jp[O,2,3] already
+    (mixed-camera problems).  Returns r[O,K], Jc[O,K,28], Jp[O,K,3] already
     scaled by sqrt(w), plus the per-obs robust cost for the objective.
-    """
+    K = 2, or 3 when `with_depth` adds the depth-prior row
+    (RelativeDepthError: a separate Ceres block sharing the projection loss,
+    so it carries its own IRLS weight)."""
     inst, rigcam, cam, points = state
     d = data
 
     def make_batched(pt):
-        def res_fn(combo, X, uv, inv_sd):
+        def res_fn(combo, X, uv, inv_sd, dep):
             # combo: [O, 12+pmax]; X: [O, 3] — fully vectorized over obs.
             Xi = rot.rotate(combo[:, 0:3], X) + combo[:, 3:6]
             Xc = rot.rotate(combo[:, 6:9], Xi) + combo[:, 9:12]
@@ -160,7 +192,14 @@ def _residual_data(state, data, ptype, loss, loss_threshold, pmax):
                 # Wrap the panorama seam (the reference instead uses a 3D
                 # bearing residual, ErrorTraits bundle_adjuster.cc:446).
                 diff = diff - jnp.round(diff)
-            return diff * inv_sd[:, None]
+            out = diff * inv_sd[:, None]
+            if with_depth:
+                depth_val, depth_inv_sd, radial = dep
+                norm = jnp.sqrt(jnp.sum(Xc * Xc, axis=-1) + 1e-30)
+                pred_depth = jnp.where(radial, norm, Xc[:, 2])
+                r_d = (pred_depth - depth_val) * depth_inv_sd
+                out = jnp.concatenate([out, r_d[:, None]], axis=1)
+            return out
 
         return res_fn
 
@@ -180,8 +219,13 @@ def _residual_data(state, data, ptype, loss, loss_threshold, pmax):
         X = points[d["obs_point"][sl]]
         uv = d["obs_uv"][sl]
         inv_sd = d["obs_inv_sd"][sl]
+        dep = (
+            (d["obs_depth"][sl], d["obs_depth_inv_sd"][sl],
+             d["obs_depth_radial"][sl])
+            if with_depth else None
+        )
         f = make_batched(pt)
-        r_ = f(combo, X, uv, inv_sd)
+        r_ = f(combo, X, uv, inv_sd, dep)
 
         # Jacobians via vmap over the (D+3)-dim tangent basis: each pass is
         # one fully-vectorized JVP over all observations (vs a per-obs
@@ -192,12 +236,12 @@ def _residual_data(state, data, ptype, loss, loss_threshold, pmax):
             tc = jnp.broadcast_to(e[:D], combo.shape)
             tx = jnp.broadcast_to(e[D:], X.shape)
             return jax.jvp(
-                lambda c, x: f(c, x, uv, inv_sd), (combo, X), (tc, tx)
+                lambda c, x: f(c, x, uv, inv_sd, dep), (combo, X), (tc, tx)
             )[1]
 
-        Jall = jax.vmap(push)(basis)  # [D+3, O, 2]
-        Jc_ = jnp.moveaxis(Jall[:D], 0, -1)  # [O, 2, D]
-        Jp_ = jnp.moveaxis(Jall[D:], 0, -1)  # [O, 2, 3]
+        Jall = jax.vmap(push)(basis)  # [D+3, O, K]
+        Jc_ = jnp.moveaxis(Jall[:D], 0, -1)  # [O, K, D]
+        Jp_ = jnp.moveaxis(Jall[D:], 0, -1)  # [O, K, 3]
         rs.append(r_)
         Jcs.append(Jc_)
         Jps.append(Jp_)
@@ -207,10 +251,19 @@ def _residual_data(state, data, ptype, loss, loss_threshold, pmax):
 
     rho, drho = LOSSES[loss]
     a2 = loss_threshold * loss_threshold
-    s = jnp.sum(r * r, axis=-1)
-    cost = 0.5 * a2 * rho(s / a2)
-    w = drho(s / a2)
-    sw = jnp.sqrt(jnp.maximum(w, 1e-12))[:, None]
+    s_proj = jnp.sum(r[:, :2] * r[:, :2], axis=-1)
+    cost = 0.5 * a2 * rho(s_proj / a2)
+    w_proj = drho(s_proj / a2)
+    if with_depth:
+        s_dep = r[:, 2] * r[:, 2]
+        cost = cost + 0.5 * a2 * rho(s_dep / a2)
+        w_dep = drho(s_dep / a2)
+        w = jnp.stack([w_proj, w_proj, w_dep], axis=1)
+    else:
+        w = w_proj[:, None]
+    sw = jnp.sqrt(jnp.maximum(w, 1e-12))
+    if sw.shape[1] == 1:
+        sw = jnp.broadcast_to(sw, r.shape)
     return r * sw, Jc * sw[..., None], Jp * sw[..., None], cost
 
 
@@ -260,24 +313,115 @@ def _prior_residuals(state, data):
     return out
 
 
-@partial(
-    jax.jit,
-    static_argnames=("ptype", "loss", "loss_threshold", "pmax", "ni", "nr", "nc"),
-)
-def _lm_step(state, data, lam, ptype, loss, loss_threshold, pmax, ni, nr, nc):
-    """One damped LM step: assemble, Schur-eliminate points, solve, update.
+def _wrap_angle(a):
+    """Wrap to (-pi, pi] (DiffBetweenAngles, error_utils.h)."""
+    return a - 2.0 * jnp.pi * jnp.round(a / (2.0 * jnp.pi))
+
+
+def _shot_prior_residuals(state, data, raw=False):
+    """Up-vector and pan/tilt/roll rows on (instance, rig camera) pairs.
+
+    Mirrors UpVectorError/PanAngleError/TiltAngleError/RollAngleError
+    (error/absolute_motion_errors.h:12-130) translated to our world-to-cam
+    parametrization: the reference's cam-to-world rotation action is
+    R_i^T (R_rc^T v).  Cauchy(1) robust weights per row family
+    (bundle_adjuster.cc:957-1027).
+
+    Returns list of (r[K,M], Ji[K,M,6], Jr[K,M,6], idx_inst, idx_rigcam)
+    with sqrt-IRLS weights applied; with raw=True, just the unweighted
+    residuals [K,M] (for the true objective)."""
+    inst, rigcam, _, _ = state
+    d = data
+    out = []
+    cauchy_w = LOSSES["CauchyLoss"][1]
+
+    def cam_to_world(i6, r6, v):
+        return rot.rotate(-i6[:3], rot.rotate(-r6[:3], v))
+
+    def emit(res_fn, args, idx_i, idx_r):
+        r = jax.vmap(res_fn)(*args)
+        if raw:
+            out.append(r)
+            return
+        Ji = jax.vmap(jax.jacfwd(res_fn, argnums=0))(*args)
+        Jr = jax.vmap(jax.jacfwd(res_fn, argnums=1))(*args)
+        s = jnp.sum(r * r, axis=-1, keepdims=True)
+        sw = jnp.sqrt(jnp.maximum(cauchy_w(s), 1e-12))
+        out.append((r * sw, Ji * sw[..., None], Jr * sw[..., None], idx_i, idx_r))
+
+    up_vec_arr = d.get("up_vec")
+    if up_vec_arr is not None and up_vec_arr.shape[0] > 0:
+
+        def up_res(i6, r6, vec, inv_sd):
+            z_world = cam_to_world(i6, r6, vec)
+            return (z_world - jnp.array([0.0, 0.0, 1.0], dtype=i6.dtype)) * inv_sd
+
+        emit(
+            up_res,
+            (inst[d["up_inst"]], rigcam[d["up_rigcam"]],
+             d["up_vec"], d["up_inv_sd"][:, None]),
+            d["up_inst"], d["up_rigcam"],
+        )
+
+    ang_value_arr = d.get("ang_value")
+    if ang_value_arr is not None and ang_value_arr.shape[0] > 0:
+
+        def ang_res(i6, r6, kind, value, inv_sd):
+            dt = i6.dtype
+            ez = jnp.array([0.0, 0.0, 1.0], dtype=dt)
+            ex = jnp.array([1.0, 0.0, 0.0], dtype=dt)
+            zw = cam_to_world(i6, r6, ez)
+            # pan (compass): bearing of the view direction in the ground plane
+            horiz = jnp.sqrt(zw[0] ** 2 + zw[1] ** 2)
+            pan_pred = jnp.arctan2(zw[0], zw[1])
+            pan = jnp.where(horiz < 1e-8, 0.0, _wrap_angle(pan_pred - value))
+            # tilt: elevation of the view direction
+            tilt_pred = -jnp.arctan2(zw[2], horiz)
+            tilt = _wrap_angle(tilt_pred - value)
+            # roll: rotation about the view axis (RollAngleError:63-105)
+            xw = cam_to_world(i6, r6, ex)
+            a = jnp.stack([zw[1], -zw[0], 0.0 * zw[0]])
+            la = jnp.sqrt(a[0] ** 2 + a[1] ** 2)
+            a = a / jnp.maximum(la, 1e-12)
+            b = jnp.cross(xw, a)
+            sin_roll = jnp.clip(jnp.dot(zw, b), -1.0 + 1e-9, 1.0 - 1e-9)
+            roll_pred = jnp.arcsin(sin_roll)
+            roll = jnp.where(
+                (la < 1e-5) | (sin_roll <= -(1.0 - 1e-5)),
+                0.0, _wrap_angle(roll_pred - value),
+            )
+            res = jnp.where(kind == 0, pan, jnp.where(kind == 1, tilt, roll))
+            return (res * inv_sd)[None]
+
+        emit(
+            ang_res,
+            (inst[d["ang_inst"]], rigcam[d["ang_rigcam"]],
+             d["ang_kind"], d["ang_value"], d["ang_inv_sd"]),
+            d["ang_inst"], d["ang_rigcam"],
+        )
+
+    return out
+
+
+def _build_reduced_system(state, data, lam, ptype, loss, loss_threshold,
+                          pmax, ni, nr, nc, with_depth):
+    """Assemble the Schur-reduced camera system.
 
     Scatter-free assembly (TPU scatters serialize): observations are gathered
     into the per-point CSR layout [NP, T], block families of the reduced
     camera system are contracted with one-hot selectors over the SMALL
     index sets (instances, rig cameras, cameras) as pure einsums/matmuls,
     and the dense S is assembled by block concatenation.
+
+    Returns (S, b, back) where `back` carries what back-substitution needs.
     """
     inst, rigcam, cam, points = state
     np_pts = points.shape[0]
     dtype = points.dtype
 
-    r, Jc, Jp, _ = _residual_data(state, data, ptype, loss, loss_threshold, pmax)
+    r, Jc, Jp, _ = _residual_data(
+        state, data, ptype, loss, loss_threshold, pmax, with_depth
+    )
 
     # Mask Jacobians of fixed parameters (zero rows instead of index games).
     opt_p = data["opt_points"][data["obs_point"]].astype(dtype)
@@ -399,6 +543,26 @@ def _lm_step(state, data, lam, ptype, loss, loss_threshold, pmax, ni, nr, nc):
             S_CC = S_CC + expand_diag(D, nc, pmax)
             b_c = b_c + jnp.einsum("nki,nk->ni", pJm, pr).reshape(nc * pmax)
 
+    # --- shot priors (up-vector / pan / tilt / roll): couple inst+rigcam ----
+    for pr, Ji_u, Jr_u, idx_i, idx_r in _shot_prior_residuals(state, data):
+        mi = data["opt_inst"][idx_i].astype(dtype)[:, None, None]
+        mr = data["opt_rigcam"][idx_r].astype(dtype)[:, None, None]
+        Ji_u = Ji_u * mi
+        Jr_u = Jr_u * mr
+        Ei_u = jax.nn.one_hot(idx_i, ni, dtype=dtype)  # [K, NI]
+        Er_u = jax.nn.one_hot(idx_r, nr, dtype=dtype)
+        S_II = S_II + expand_diag(
+            jnp.einsum("ka,kxi,kxj->aij", Ei_u, Ji_u, Ji_u), ni, 6
+        )
+        S_RR = S_RR + expand_diag(
+            jnp.einsum("ka,kxi,kxj->aij", Er_u, Jr_u, Jr_u), nr, 6
+        )
+        S_IR = S_IR + jnp.einsum(
+            "ka,kxi,kxj,kb->aibj", Ei_u, Ji_u, Jr_u, Er_u
+        )
+        b_i = b_i + jnp.einsum("ka,kxi,kx->ai", Ei_u, Ji_u, pr).reshape(ni * 6)
+        b_r = b_r + jnp.einsum("ka,kxi,kx->ai", Er_u, Jr_u, pr).reshape(nr * 6)
+
     # --- assemble the dense reduced system ---------------------------------
     di, dr, dcam = ni * 6, nr * 6, nc * pmax
     S = jnp.block(
@@ -435,16 +599,40 @@ def _lm_step(state, data, lam, ptype, loss, loss_threshold, pmax, ni, nr, nc):
     diag_S = jnp.diagonal(S)
     S = S + jnp.diag(lam * diag_S + 1e-12)
     S = 0.5 * (S + S.T)
+    back = dict(
+        G=G, Hpp_inv=Hpp_inv, bp=bp,
+        inst_pt=inst_pt, rig_pt=rig_pt, cam_pt=cam_pt,
+    )
+    return S, b, back
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "ptype", "loss", "loss_threshold", "pmax", "ni", "nr", "nc",
+        "with_depth",
+    ),
+)
+def _lm_step(state, data, lam, ptype, loss, loss_threshold, pmax, ni, nr, nc,
+             with_depth=False):
+    """One damped LM step: assemble, Schur-eliminate points, solve, update."""
+    inst, rigcam, cam, points = state
+    S, b, back = _build_reduced_system(
+        state, data, lam, ptype, loss, loss_threshold, pmax, ni, nr, nc,
+        with_depth,
+    )
     dx_c = jnp.linalg.solve(S, b)
 
     # --- back-substitute points (gathers only) -----------------------------
+    di, dr = ni * 6, nr * 6
     dx_i = dx_c[:di].reshape(ni, 6)
     dx_r = dx_c[di : di + dr].reshape(nr, 6)
     dx_cam = dx_c[di + dr :].reshape(nc, pmax)
+    G, Hpp_inv, bp = back["G"], back["Hpp_inv"], back["bp"]
     u = (
-        jnp.einsum("ptxk,ptx->pk", G["i"], dx_i[inst_pt])
-        + jnp.einsum("ptxk,ptx->pk", G["r"], dx_r[rig_pt])
-        + jnp.einsum("ptxk,ptx->pk", G["c"], dx_cam[cam_pt])
+        jnp.einsum("ptxk,ptx->pk", G["i"], dx_i[back["inst_pt"]])
+        + jnp.einsum("ptxk,ptx->pk", G["r"], dx_r[back["rig_pt"]])
+        + jnp.einsum("ptxk,ptx->pk", G["c"], dx_cam[back["cam_pt"]])
     )
     dx_p = jnp.einsum("pij,pj->pi", Hpp_inv, bp - u)
 
@@ -458,9 +646,39 @@ def _lm_step(state, data, lam, ptype, loss, loss_threshold, pmax, ni, nr, nc):
 
 
 @partial(
-    jax.jit, static_argnames=("ptype", "loss", "loss_threshold", "pmax")
+    jax.jit,
+    static_argnames=(
+        "ptype", "loss", "loss_threshold", "pmax", "ni", "nr", "nc",
+        "with_depth",
+    ),
 )
-def _total_cost(state, data, ptype, loss, loss_threshold, pmax):
+def _instance_covariances(state, data, ptype, loss, loss_threshold, pmax,
+                          ni, nr, nc, with_depth=False):
+    """Marginal 6x6 covariances of the rig-instance poses.
+
+    Mirrors ComputeCovariances (bundle_adjuster.cc:1123-1194): the points are
+    Schur-marginalized, so inv(S) restricted to an instance's 6x6 diagonal
+    block IS the marginal covariance of that pose (in our world-to-cam
+    tangent parametrization)."""
+    S, _, _ = _build_reduced_system(
+        state, data, jnp.zeros((), dtype=state[3].dtype), ptype, loss,
+        loss_threshold, pmax, ni, nr, nc, with_depth,
+    )
+    Sinv = jnp.linalg.inv(S)
+    blocks = Sinv[: ni * 6, : ni * 6].reshape(ni, 6, ni, 6)
+    cov = jnp.einsum("aiaj->aij", blocks)
+    valid = jnp.all(jnp.isfinite(Sinv)) & jnp.all(
+        jnp.einsum("aii->ai", cov) >= 0
+    )
+    return cov, valid
+
+
+@partial(
+    jax.jit,
+    static_argnames=("ptype", "loss", "loss_threshold", "pmax", "with_depth"),
+)
+def _total_cost(state, data, ptype, loss, loss_threshold, pmax,
+                with_depth=False):
     """Objective only — no Jacobians (cheap accept/reject evaluation)."""
     inst, rigcam, cam, points = state
     d = data
@@ -482,8 +700,18 @@ def _total_cost(state, data, ptype, loss, loss_threshold, pmax):
         r = diff * d["obs_inv_sd"][sl][:, None]
         s = jnp.sum(r * r, axis=-1)
         total = total + jnp.sum(0.5 * a2 * rho(s / a2))
+        if with_depth:
+            norm = jnp.sqrt(jnp.sum(Xc * Xc, axis=-1) + 1e-30)
+            pred_depth = jnp.where(d["obs_depth_radial"][sl], norm, Xc[:, 2])
+            r_d = (pred_depth - d["obs_depth"][sl]) * d["obs_depth_inv_sd"][sl]
+            total = total + jnp.sum(0.5 * a2 * rho(r_d * r_d / a2))
     for pr, _, _ in _prior_residuals(state, data):
         total = total + 0.5 * jnp.sum(pr * pr)
+    # Shot priors carry Cauchy(1) (bundle_adjuster.cc:957-1027).
+    rho_c = LOSSES["CauchyLoss"][0]
+    for pr in _shot_prior_residuals(state, data, raw=True):
+        s = jnp.sum(pr * pr, axis=-1)
+        total = total + jnp.sum(0.5 * rho_c(s))
     # Point priors.
     points = state[3]
     pp_r = (points - data["point_prior"]) * data["point_prior_inv_sd"]
@@ -497,11 +725,31 @@ def bundle_adjust(
     initial_lambda: float = 1e-4,
     tol: float = 1e-10,
     dtype=np.float64,
+    compute_covariances: bool = False,
 ) -> BAResult:
     """Run LM to convergence (host-controlled damping loop; each trial step
     and cost evaluation is one fused jitted device call)."""
     ni, nr, nc, npts, num_obs, T = problem.counts()
     pmax = problem.cam.shape[1]
+
+    def opt(x, default):
+        return np.asarray(x) if x is not None else default
+
+    up_inst = opt(problem.up_inst, np.zeros(0, dtype=np.int32))
+    up_rigcam = opt(problem.up_rigcam, np.zeros(0, dtype=np.int32))
+    up_vec = opt(problem.up_vec, np.zeros((0, 3)))
+    up_inv_sd = opt(problem.up_inv_sd, np.zeros(0))
+    ang_kind = opt(problem.ang_kind, np.zeros(0, dtype=np.int32))
+    ang_inst = opt(problem.ang_inst, np.zeros(0, dtype=np.int32))
+    ang_rigcam = opt(problem.ang_rigcam, np.zeros(0, dtype=np.int32))
+    ang_value = opt(problem.ang_value, np.zeros(0))
+    ang_inv_sd = opt(problem.ang_inv_sd, np.zeros(0))
+    obs_depth = opt(problem.obs_depth, np.zeros(num_obs))
+    obs_depth_inv_sd = opt(problem.obs_depth_inv_sd, np.zeros(num_obs))
+    obs_depth_radial = opt(
+        problem.obs_depth_radial, np.zeros(num_obs, dtype=bool)
+    )
+    with_depth = bool(np.any(obs_depth_inv_sd > 0))
 
     state = (
         jnp.asarray(problem.inst, dtype=dtype),
@@ -530,10 +778,23 @@ def bundle_adjust(
         "opt_rigcam": jnp.asarray(problem.opt_rigcam, dtype=bool),
         "opt_cam": jnp.asarray(problem.opt_cam, dtype=bool),
         "opt_points": jnp.asarray(problem.opt_points, dtype=bool),
+        "up_inst": jnp.asarray(up_inst, dtype=jnp.int32),
+        "up_rigcam": jnp.asarray(up_rigcam, dtype=jnp.int32),
+        "up_vec": jnp.asarray(up_vec, dtype=dtype),
+        "up_inv_sd": jnp.asarray(up_inv_sd, dtype=dtype),
+        "ang_kind": jnp.asarray(ang_kind, dtype=jnp.int32),
+        "ang_inst": jnp.asarray(ang_inst, dtype=jnp.int32),
+        "ang_rigcam": jnp.asarray(ang_rigcam, dtype=jnp.int32),
+        "ang_value": jnp.asarray(ang_value, dtype=dtype),
+        "ang_inv_sd": jnp.asarray(ang_inv_sd, dtype=dtype),
+        "obs_depth": jnp.asarray(obs_depth, dtype=dtype),
+        "obs_depth_inv_sd": jnp.asarray(obs_depth_inv_sd, dtype=dtype),
+        "obs_depth_radial": jnp.asarray(obs_depth_radial, dtype=bool),
     }
     statics = dict(
         ptype=problem.ptype, loss=problem.loss,
         loss_threshold=float(problem.loss_threshold), pmax=pmax,
+        with_depth=with_depth,
     )
 
     cost = float(_total_cost(state, data, **statics))
@@ -564,6 +825,15 @@ def bundle_adjust(
         if accepted and rel < tol:
             break
 
+    covariances = None
+    covariance_valid = False
+    if compute_covariances:
+        cov, valid = _instance_covariances(
+            state, data, ni=ni, nr=nr, nc=nc, **statics
+        )
+        covariances = np.asarray(cov)
+        covariance_valid = bool(valid)
+
     return BAResult(
         inst=np.asarray(state[0]),
         rigcam=np.asarray(state[1]),
@@ -573,4 +843,6 @@ def bundle_adjust(
         final_cost=cost,
         iterations=iters_done,
         lam=lam,
+        covariances=covariances,
+        covariance_valid=covariance_valid,
     )

@@ -115,7 +115,8 @@ class _Builder:
         self.cam_index: Dict[str, int] = {}
         self.point_ids: List[str] = []
         self.point_index: Dict[str, int] = {}
-        self.obs: List[Tuple] = []  # (uv, inv_sd, point, inst, rigcam, cam, ptype)
+        self.obs: List[Tuple] = []  # (uv, inv_sd, point, inst, rigcam, cam, ptype, depth)
+        self.up_rows: List[Tuple[int, int, np.ndarray, float]] = []
         self.opt_inst: List[bool] = []
         self.opt_rigcam: List[bool] = []
         self.opt_cam_blocks: List[bool] = []
@@ -162,10 +163,17 @@ class _Builder:
         self.opt_points.append(not fixed)
         return idx
 
-    def add_obs(self, uv, std_dev, p_idx, i_idx, r_idx, c_idx, ptype):
+    def add_obs(self, uv, std_dev, p_idx, i_idx, r_idx, c_idx, ptype,
+                depth_prior=None):
         self.obs.append(
             (np.asarray(uv, dtype=np.float64), 1.0 / max(std_dev, 1e-12),
-             p_idx, i_idx, r_idx, c_idx, ptype)
+             p_idx, i_idx, r_idx, c_idx, ptype, depth_prior)
+        )
+
+    def add_up_vector(self, i_idx: int, r_idx: int, up_vec, std: float) -> None:
+        """AddAbsoluteUpVector (bundle_adjuster.h:236)."""
+        self.up_rows.append(
+            (i_idx, r_idx, np.asarray(up_vec, dtype=np.float64), float(std))
         )
 
     def add_gps(self, inst_idx: int, position, std: float) -> None:
@@ -243,15 +251,22 @@ class _Builder:
         obs_inst = np.zeros(O, dtype=np.int64)
         obs_rigcam = np.zeros(O, dtype=np.int64)
         obs_cam = np.zeros(O, dtype=np.int64)
+        obs_depth = np.zeros(O)
+        obs_depth_inv_sd = np.zeros(O)
+        obs_depth_radial = np.zeros(O, dtype=bool)
         segments: List[Tuple[str, int, int]] = []
         for rank, k in enumerate(order):
-            uv, inv_sd, p, i, r, c, pt = self.obs[k]
+            uv, inv_sd, p, i, r, c, pt, depth = self.obs[k]
             obs_uv[rank] = uv
             obs_inv_sd[rank] = inv_sd
             obs_point[rank] = p
             obs_inst[rank] = i
             obs_rigcam[rank] = r
             obs_cam[rank] = c
+            if depth is not None and np.isfinite(depth.value):
+                obs_depth[rank] = depth.value
+                obs_depth_inv_sd[rank] = 1.0 / max(depth.std_deviation, 1e-12)
+                obs_depth_radial[rank] = bool(depth.is_radial)
             if not segments or segments[-1][0] != pt:
                 segments.append((pt, rank, rank + 1))
             else:
@@ -317,6 +332,18 @@ class _Builder:
             ptype=tuple(segments),
             loss=str(self.config.get("loss_function", "SoftLOneLoss")),
             loss_threshold=float(self.config.get("loss_function_threshold", 1.0)),
+            up_inst=np.asarray([u[0] for u in self.up_rows], dtype=np.int32),
+            up_rigcam=np.asarray([u[1] for u in self.up_rows], dtype=np.int32),
+            up_vec=(
+                np.asarray([u[2] for u in self.up_rows])
+                if self.up_rows else np.zeros((0, 3))
+            ),
+            up_inv_sd=np.asarray(
+                [1.0 / max(u[3], 1e-12) for u in self.up_rows]
+            ),
+            obs_depth=obs_depth,
+            obs_depth_inv_sd=obs_depth_inv_sd,
+            obs_depth_radial=obs_depth_radial,
         )
 
     def writeback(self, result: BAResult) -> None:
@@ -396,7 +423,10 @@ def _add_shot_obs(builder: _Builder, shot, i_idx, r_idx, c_idx, points_filter=No
         p_idx = builder.point_index.get(lm_id)
         if p_idx is None:
             continue
-        builder.add_obs(obs.point, obs.scale, p_idx, i_idx, r_idx, c_idx, ptype)
+        builder.add_obs(
+            obs.point, obs.scale, p_idx, i_idx, r_idx, c_idx, ptype,
+            depth_prior=getattr(obs, "depth_prior", None),
+        )
         count += 1
     return count
 
@@ -502,11 +532,31 @@ def bundle(
     for point in reconstruction.points.values():
         builder.add_point(point.id, fixed=False)
 
+    # Up-vector alignment rows when align_method resolves to
+    # orientation_prior (ba_helpers.cc:604-620, 688-691).
+    align_method = str(config.get("align_method", "auto"))
+    if align_method == "auto":
+        from opensfm_tpu import align as align_lib
+
+        align_method = align_lib.detect_alignment_constraints(
+            config, reconstruction, gcp or [],
+            use_gps=bool(config.get("bundle_use_gps", True)),
+        )
+    up_vector = None
+    if align_method == "orientation_prior":
+        prior = str(config.get("align_orientation_prior", "horizontal"))
+        if prior == "vertical":
+            up_vector = np.array([0.0, 0.0, -1.0])
+        elif prior == "horizontal":
+            up_vector = np.array([0.0, -1.0, 0.0])
+
     num_projections = 0
     for shot in reconstruction.shots.values():
         i_idx = builder.inst_index[shot.rig_instance.id]
         r_idx = builder.rigcam_index[shot.rig_camera.id]
         c_idx = builder.cam_index[shot.camera.id]
+        if up_vector is not None:
+            builder.add_up_vector(i_idx, r_idx, up_vector, 1e-3)
         num_projections += _add_shot_obs(builder, shot, i_idx, r_idx, c_idx)
 
     extra_coords: Dict[str, np.ndarray] = {}
