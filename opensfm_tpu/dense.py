@@ -285,7 +285,13 @@ def plane_sweep_depthmap(
 
 
 def compute_depthmap(arguments_or_udata, udata, reconstruction, neighbors, shot_id):
-    """Raw depthmap for one shot (dense.py:95-167)."""
+    """Raw depthmap for one shot (dense.py:95-167).
+
+    Dispatches on config depthmap_method: PATCH_MATCH / PATCH_MATCH_SAMPLE
+    run the checkerboard PatchMatch (ops/depthmap.py — SAMPLE's random
+    single-neighbor scoring collapses into the batched max-over-neighbors,
+    which strictly dominates it); BRUTE_FORCE runs the fronto-parallel
+    plane sweep."""
     config = udata.config
     shot = reconstruction.shots[shot_id]
     width = int(config["depthmap_resolution"])
@@ -304,19 +310,54 @@ def compute_depthmap(arguments_or_udata, udata, reconstruction, neighbors, shot_
     if not neighbor_grays:
         return
 
-    depth, score, nghbr = plane_sweep_depthmap(
-        ref_gray, shot, neighbor_grays, neighbor_shots, min_depth, max_depth,
-        patch_size=int(config["depthmap_patch_size"]),
-    )
+    method = str(config.get("depthmap_method", "PATCH_MATCH_SAMPLE")).upper()
+    if method in ("PATCH_MATCH", "PATCH_MATCH_SAMPLE"):
+        depth, plane, score, nghbr = _patch_match(
+            ref_gray, shot, neighbor_grays, neighbor_shots,
+            min_depth, max_depth, config,
+        )
+    else:  # BRUTE_FORCE
+        depth, score, nghbr = plane_sweep_depthmap(
+            ref_gray, shot, neighbor_grays, neighbor_shots, min_depth,
+            max_depth, patch_size=int(config["depthmap_patch_size"]),
+        )
+        # Fronto-parallel plane per pixel: n = -z in camera coords.
+        H, W = depth.shape
+        plane = np.zeros((H, W, 3), dtype=np.float32)
+        plane[..., 2] = np.where(
+            depth > 0, -1.0 / np.maximum(depth, 1e-6), 0.0
+        )
+
     good = score > config["depthmap_min_correlation_score"]
     depth = depth * good
 
-    # Fronto-parallel plane per pixel: n = -z axis in camera coords, d = depth.
-    H, W = depth.shape
-    plane = np.zeros((H, W, 3), dtype=np.float32)
-    plane[..., 2] = np.where(depth > 0, -1.0 / np.maximum(depth, 1e-6), 0.0)
-
     udata.save_raw_depthmap(shot_id, depth, plane, score, nghbr, neighbors)
+
+
+def _patch_match(ref_gray, shot, neighbor_grays, neighbor_shots,
+                 min_depth, max_depth, config):
+    """Adapter: shots -> ray grids / relative poses for ops.depthmap."""
+    from opensfm_tpu.ops.depthmap import patch_match_depthmap
+
+    H, W = ref_gray.shape
+    ys, xs = np.mgrid[0:H, 0:W]
+    px = np.column_stack([xs.ravel(), ys.ravel()]).astype(np.float64)
+    norm = normalized_image_coordinates(px, W, H)
+    bearings = shot.camera.bearings_many(norm)
+    rays = (bearings / bearings[:, 2:3]).reshape(H, W, 3)
+
+    depth, nu, score, nghbr = patch_match_depthmap(
+        ref_gray, rays,
+        shot.pose.get_rotation_matrix(), np.asarray(shot.pose.translation),
+        neighbor_grays,
+        [s.pose.get_rotation_matrix() for s in neighbor_shots],
+        [np.asarray(s.pose.translation) for s in neighbor_shots],
+        [float(s.camera.focal) for s in neighbor_shots],
+        float(min_depth), float(max_depth),
+        iterations=int(config.get("depthmap_patchmatch_iterations", 3)),
+        patch_size=int(config["depthmap_patch_size"]),
+    )
+    return depth, nu.astype(np.float32), score, nghbr
 
 
 def clean_depthmap(udata, reconstruction, neighbors, shot_id) -> None:
@@ -395,7 +436,20 @@ def prune_depthmap(udata, reconstruction, neighbors, shot_id) -> None:
     o_ref = shot.pose.get_origin()
     points = o_ref[None, :] + (bearings_cam / z) @ R_ref * d[:, None]
 
-    normals = np.tile(-R_ref[2], (len(points), 1))  # fronto-parallel normals
+    # Normals from the per-pixel plane vectors (PatchMatch slanted planes;
+    # the plane-sweep writes fronto-parallel nu = (0, 0, -1/d), which lands
+    # on -z).  Camera-frame n ~ nu normalized toward the camera, then
+    # rotated to world: n_world = R^T n_cam.
+    nu = plane[::step, ::step].reshape(-1, 3)[valid]
+    nu_norm = np.linalg.norm(nu, axis=1, keepdims=True)
+    n_cam = np.divide(
+        nu, nu_norm, out=np.tile([[0.0, 0.0, -1.0]], (len(nu), 1)),
+        where=nu_norm > 1e-12,
+    )
+    # Orient toward the camera (nz < 0 in camera frame).
+    flip = n_cam[:, 2] > 0
+    n_cam[flip] = -n_cam[flip]
+    normals = n_cam @ R_ref
 
     try:
         image = udata.load_undistorted_image(shot_id)
