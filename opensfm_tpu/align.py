@@ -34,8 +34,20 @@ def align_reconstruction(
     use_scale = not has_scaled_rigs
     if bias_override and config["bundle_compensate_gps_bias"]:
         return set_gps_bias(reconstruction, config, gcp, use_scale)
+    # When GPS bias compensation is on, GPS and GCP live in frames that
+    # differ by the (yet unestimated) bias; mixing both in one rigid
+    # similarity tilts the model whenever the GCPs are unevenly spread.
+    # Align on GPS alone during iteration — the GCP/GPS offset is resolved
+    # by set_gps_bias at the final bias_override stage.  (The reference
+    # mixes both (align.py:18-39) and is fragile to clustered GCPs.)
+    align_gcp = gcp
+    if config.get("bundle_compensate_gps_bias", False) and use_gps and any(
+        shot.metadata.gps_position.has_value
+        for shot in reconstruction.shots.values()
+    ):
+        align_gcp = []
     res = compute_reconstruction_similarity(
-        reconstruction, gcp, config, use_gps, use_scale
+        reconstruction, align_gcp, config, use_gps, use_scale
     )
     if res:
         s, A, b = res

@@ -251,8 +251,41 @@ def motion_from_plane_homography(
 # ---------------------------------------------------------------------------
 
 
-def triangulate_gcp(point, shots: Dict[str, Any], reproj_threshold: float = 1.0):
-    """Triangulate a GCP from its observations (multiview.py:556)."""
-    from opensfm_tpu.ba.problem import triangulate_gcp as _tri
+def triangulate_gcp(
+    point,
+    shots: Dict[str, Any],
+    reproj_threshold: float = 0.02,
+    min_ray_angle_degrees: float = 1.0,
+    min_depth: float = 0.001,
+):
+    """Triangulate a GCP from its observations with strict validation
+    (multiview.py:556-589).
 
-    return _tri(point, shots)
+    Defaults mirror the reference: 0.02 rad angular reprojection threshold
+    and 1 degree minimum ray angle — much stricter than the BA-side
+    TriangulateGCP (ba_helpers.cc:313: 1.0 rad / 0.1 deg).  Alignment relies
+    on the strictness: with poor poses the triangulations fail validation
+    and GCPs drop out of the similarity fit instead of skewing it."""
+    import jax.numpy as jnp
+
+    from opensfm_tpu.geometry import triangulation as tri
+
+    os_, bs = [], []
+    for obs in point.observations:
+        shot = shots.get(obs.shot_id)
+        if shot is None:
+            continue
+        bearing = shot.camera.bearing(obs.projection)
+        pose = shot.pose
+        bs.append(pose.get_rotation_matrix().T @ bearing)
+        os_.append(pose.get_origin())
+    if len(bs) < 2:
+        return None
+    os_ = np.asarray(os_)
+    bs = np.asarray(bs)
+    ok, X = tri.triangulate_bearings_midpoint(
+        jnp.asarray(os_), jnp.asarray(bs),
+        jnp.ones(len(bs), bool), jnp.full(len(bs), reproj_threshold),
+        min_angle=np.radians(min_ray_angle_degrees), min_depth=min_depth,
+    )
+    return np.asarray(X) if bool(ok) else None

@@ -492,6 +492,94 @@ def _batched_triangulate_arrays(origins, bearings, mask, thresholds, min_angle,
     return np.asarray(ok), np.asarray(X)
 
 
+def _make_triangulate_robust_kernel():
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from opensfm_tpu.geometry import triangulation as tri
+
+    @partial(jax.jit, static_argnames=("iterations",))
+    def run(origins, bearings, mask, pairs, threshold, min_angle, min_depth,
+            iterations):
+        """RANSAC-pairs triangulation (TrackTriangulator.triangulate_robust,
+        reconstruction.py:922-1030), batched over tracks.
+
+        origins/bearings [N,T,3], mask [N,T], pairs [N,K,2] slot indices.
+        Returns (ok [N], X [N,3], inliers [N,T])."""
+
+        def one(o, b, m, prs, th):
+            T = o.shape[0]
+
+            def try_pair(pr):
+                i, j = pr[0], pr[1]
+                o2 = jnp.stack([o[i], o[j]])
+                b2 = jnp.stack([b[i], b[j]])
+                m2 = jnp.stack([m[i], m[j]])
+                ok0, X = tri.triangulate_bearings_midpoint(
+                    o2, b2, m2, jnp.full(2, th), min_angle, min_depth
+                )
+                X = tri.point_refinement(o2, b2, X, m2, iterations)
+                rays = X[None, :] - o
+                rb = rays / jnp.maximum(
+                    jnp.linalg.norm(rays, axis=-1, keepdims=True), 1e-12
+                )
+                inl = (jnp.linalg.norm(rb - b, axis=-1) < th) & m
+                cnt = jnp.where(ok0 & m2.all(), jnp.sum(inl), -1)
+                return cnt, X, inl
+
+            cnts, Xs, inls = jax.vmap(try_pair)(prs)  # [K], [K,3], [K,T]
+            best = jnp.argmax(cnts)
+            cnt_best = cnts[best]
+            Xb = Xs[best]
+            inl_b = inls[best]
+
+            # Least-squares refit over the pair's inliers; keep the better
+            # support (same quirk as the reference: the pair point is the
+            # one refined over the inlier set, :991-1015).
+            Xr = tri.point_refinement(o, b, Xb, inl_b, iterations)
+            rays = Xr[None, :] - o
+            rbr = rays / jnp.maximum(
+                jnp.linalg.norm(rays, axis=-1, keepdims=True), 1e-12
+            )
+            inl_r = (jnp.linalg.norm(rbr - b, axis=-1) < th) & m
+            use_refit = jnp.sum(inl_r) > cnt_best
+            X_final = jnp.where(use_refit, Xr, Xb)
+            inl_final = jnp.where(use_refit, inl_r, inl_b)
+            ok = cnt_best >= 2
+            return ok, X_final, inl_final
+
+        return jax.vmap(one)(origins, bearings, mask, pairs, threshold)
+
+    return run
+
+
+_TRIANGULATE_ROBUST_KERNEL = None
+
+
+def _batched_triangulate_robust(origins, bearings, mask, lens, threshold,
+                                min_angle, min_depth, iterations, n_tries=11):
+    """RANSAC-pairs robust triangulation over [N, T] rays."""
+    global _TRIANGULATE_ROBUST_KERNEL
+    if _TRIANGULATE_ROBUST_KERNEL is None:
+        _TRIANGULATE_ROBUST_KERNEL = _make_triangulate_robust_kernel()
+    n_pad, t_pad = mask.shape
+    # Random distinct slot pairs per track (host-side, seeded by the global
+    # numpy RNG like the reference's np.random.rand at :956).
+    lens_col = np.maximum(lens, 2)[:, None]
+    u = np.random.random((n_pad, n_tries, 2))
+    i = np.floor(u[..., 0] * lens_col).astype(np.int32)
+    j = np.floor(u[..., 1] * (lens_col - 1)).astype(np.int32)
+    j = np.where(j >= i, j + 1, j)
+    pairs = np.stack([i, np.clip(j, 0, t_pad - 1)], axis=-1)
+    ok, X, inliers = _TRIANGULATE_ROBUST_KERNEL(
+        origins, bearings, mask, pairs,
+        np.full(n_pad, threshold), float(min_angle), float(min_depth),
+        int(iterations),
+    )
+    return np.asarray(ok), np.asarray(X), np.asarray(inliers)
+
+
 def triangulate_tracks(
     tracks: List[str],
     tracks_manager,
@@ -502,9 +590,11 @@ def triangulate_tracks(
 
     Replaces the reference's per-track TrackTriangulator loop
     (reconstruction.py:895-1183) with one padded [N, T] device call.
-    """
+    triangulation_type ROBUST runs the batched RANSAC-pairs kernel and adds
+    only inlier observations (triangulate_robust:922)."""
     if not tracks:
         return
+    robust_mode = str(config.get("triangulation_type", "FULL")).upper() == "ROBUST"
     reproj_threshold = config["triangulation_threshold"]
     min_ray_angle = np.radians(config["triangulation_min_ray_angle"])
     min_depth = config["triangulation_min_depth"]
@@ -561,6 +651,24 @@ def triangulate_tracks(
             mask[idx, s] = True
             slot_of[(idx, sid)] = s
             slots[idx] += 1
+
+    if robust_mode:
+        lens = np.zeros(n_pad, dtype=np.int64)
+        lens[:n] = [len(o) for o in track_obs]
+        ok, X, inliers = _batched_triangulate_robust(
+            origins, bearings, mask, lens, reproj_threshold, min_ray_angle,
+            min_depth, iterations,
+        )
+        for idx, track in enumerate(kept_tracks):
+            if not ok[idx]:
+                continue
+            reconstruction.create_point(track, X[idx])
+            for sid in track_obs[idx]:
+                if inliers[idx, slot_of[(idx, sid)]]:
+                    add_observation_to_reconstruction(
+                        tracks_manager, reconstruction, sid, track
+                    )
+        return
 
     thresholds = np.full((n_pad, t_pad), reproj_threshold)
     ok, X = _batched_triangulate_arrays(
@@ -1092,7 +1200,14 @@ def triangulation_reconstruction(data, tracks_manager):
             )
             remove_outliers(reconstruction, config_override)
 
-    align_reconstruction(reconstruction, gcp, config)
+    # Final stage mirrors reconstruction.py:1656-1663: GCP-only alignment +
+    # per-camera GPS bias, falling back to uncompensated GPS if that fails.
+    align_result = align_reconstruction(
+        reconstruction, gcp, config, bias_override=True
+    )
+    if not align_result and config["bundle_compensate_gps_bias"]:
+        config = dict(config)
+        config["bundle_compensate_gps_bias"] = False
     bundle(reconstruction, camera_priors, rig_camera_priors, gcp, config)
     remove_outliers(reconstruction, config)
     paint_reconstruction(data, tracks_manager, reconstruction)
