@@ -8,6 +8,8 @@ save_topview:622, save_heatmap:795).
 
 from __future__ import annotations
 
+import datetime
+import json
 import logging
 import math
 import os
@@ -60,10 +62,13 @@ def gcp_errors(data, reconstructions: List[types.Reconstruction]) -> Dict[str, A
             gcp_enu = np.asarray(rec.reference.to_topocentric(*gcp.lla_vec))
             all_errors.append(triangulated - gcp_enu)
             break
-    return _gps_gcp_errors_stats(np.array(all_errors))
+    # GCP reports keep the 90th-percentile circular/linear errors the
+    # reference's PDF report quotes.
+    return _gps_gcp_errors_stats(np.array(all_errors), percentiles=True)
 
 
-def _gps_gcp_errors_stats(errors: np.ndarray) -> Dict[str, Any]:
+def _gps_gcp_errors_stats(errors: np.ndarray, percentiles: bool = False
+                          ) -> Dict[str, Any]:
     if errors is None or len(errors) == 0:
         return {}
     stats_out: Dict[str, Any] = {}
@@ -80,8 +85,9 @@ def _gps_gcp_errors_stats(errors: np.ndarray) -> Dict[str, Any]:
         "z": math.sqrt(m_squared[2]),
     }
     stats_out["average_error"] = average
-    stats_out["ce90"] = _ce90(errors)
-    stats_out["le90"] = _le90(errors)
+    if percentiles:
+        stats_out["ce90"] = _ce90(errors)
+        stats_out["le90"] = _le90(errors)
     return stats_out
 
 
@@ -104,36 +110,56 @@ def td_grid_resolution(reconstruction: types.Reconstruction) -> float:
 def processing_statistics(
     data, reconstructions: List[types.Reconstruction]
 ) -> Dict[str, Any]:
-    """Wall times of the pipeline stages from profile.log (stats.py:288)."""
+    """Stage wall times from reports/, run date, covered area
+    (stats.py:288-339)."""
     steps = {
-        "extract_metadata": "Metadata extraction",
-        "detect_features": "Features detection",
-        "match_features": "Features matching",
-        "create_tracks": "Tracks merging",
-        "reconstruct": "Reconstruction",
+        "Feature Extraction": "features.json",
+        "Features Matching": "matches.json",
+        "Tracks Merging": "tracks.json",
+        "Reconstruction": "reconstruction.json",
     }
-    steps_times = {}
-    try:
-        with open(os.path.join(data.data_path, "profile.log")) as f:
-            for line in f:
-                if ":" not in line:
-                    continue
-                name, t = line.split(":", 1)
-                name = name.strip()
-                if name in steps:
-                    try:
-                        steps_times[steps[name]] = float(t)
-                    except ValueError:
-                        pass
-    except IOError:
-        pass
 
-    stats_out = {
-        "steps_times": steps_times,
-        "date": "unknown",
-        "area": 0.0,
-    }
-    stats_out["steps_times"]["Total Time"] = sum(steps_times.values())
+    steps_times = {}
+    data_path = getattr(data, "data_path", None)
+    for step_name, report_file in steps.items():
+        obj: Dict[str, Any] = {}
+        if data_path is not None:
+            file_path = os.path.join(data_path, "reports", report_file)
+            if os.path.exists(file_path):
+                with open(file_path) as fin:
+                    obj = json.load(fin)
+        if "wall_time" in obj:
+            steps_times[step_name] = obj["wall_time"]
+        elif "wall_times" in obj:
+            steps_times[step_name] = sum(obj["wall_times"].values())
+        else:
+            steps_times[step_name] = -1
+
+    stats_out: Dict[str, Any] = {"steps_times": steps_times}
+    stats_out["steps_times"]["Total Time"] = sum(
+        t for t in steps_times.values() if t >= 0
+    )
+
+    stats_out["date"] = "unknown"
+    if data_path is not None:
+        rec_file = os.path.join(data_path, "reconstruction.json")
+        if os.path.exists(rec_file):
+            stats_out["date"] = datetime.datetime.fromtimestamp(
+                os.path.getmtime(rec_file)
+            ).strftime("%d/%m/%Y at %H:%M:%S")
+
+    default_max = 1e30
+    min_x, min_y, max_x, max_y = default_max, default_max, 0.0, 0.0
+    for rec in reconstructions:
+        for shot in rec.shots.values():
+            o = shot.pose.get_origin()
+            min_x = min(min_x, o[0])
+            min_y = min(min_y, o[1])
+            max_x = max(max_x, o[0])
+            max_y = max(max_y, o[1])
+    stats_out["area"] = (
+        (max_x - min_x) * (max_y - min_y) if min_x != default_max else -1
+    )
     return stats_out
 
 
@@ -235,48 +261,110 @@ def reconstruction_statistics(
                     all_errors_normalized.append(norm)
                     all_errors_pixels.append(pixel)
 
+    stats_out["observations_count"] = int(
+        sum(k * v for k, v in length_histo.items())
+    )
+
     if all_errors_normalized:
         stats_out["reprojection_error_normalized"] = float(
             np.mean(all_errors_normalized)
         )
         stats_out["reprojection_error_pixels"] = float(np.mean(all_errors_pixels))
-        stats_out["reprojection_histogram"] = list(
-            map(float, np.histogram(all_errors_pixels, bins=30, range=(0, 4))[0])
+        hist_n, bins_n = np.histogram(all_errors_normalized, bins=30)
+        hist_p, bins_p = np.histogram(all_errors_pixels, bins=30)
+        stats_out["reprojection_histogram_normalized"] = (
+            list(map(int, hist_n)), list(map(float, bins_n)),
+        )
+        stats_out["reprojection_histogram_pixels"] = (
+            list(map(int, hist_p)), list(map(float, bins_p)),
         )
     else:
         stats_out["reprojection_error_normalized"] = -1.0
         stats_out["reprojection_error_pixels"] = -1.0
+        stats_out["reprojection_histogram_normalized"] = ([], [])
+        stats_out["reprojection_histogram_pixels"] = ([], [])
 
-    stats_out["average_track_length"] = (
-        float(
-            np.mean(
-                [
-                    p.number_of_observations()
-                    for r in reconstructions
-                    for p in r.points.values()
-                ]
-            )
+    track_lengths = [
+        p.number_of_observations()
+        for r in reconstructions
+        for p in r.points.values()
+    ]
+    if stats_out["reconstructed_points_count"]:
+        stats_out["average_track_length"] = float(np.mean(track_lengths))
+        over_two = [t for t in track_lengths if t > 2]
+        stats_out["average_track_length_over_two"] = (
+            float(np.mean(over_two)) if over_two else -1
         )
-        if stats_out["reconstructed_points_count"]
-        else -1
-    )
+    else:
+        stats_out["average_track_length"] = -1
+        stats_out["average_track_length_over_two"] = -1
     stats_out["histogram_track_length"] = {
         str(k): v for k, v in sorted(length_histo.items())
     }
     return stats_out
 
 
-def cameras_statistics(camera_models: Dict[str, Any]) -> Dict[str, Any]:
-    out = {}
-    for camera_id, camera in camera_models.items():
-        out[camera_id] = {
-            "projection_type": camera.projection_type,
-            "width": camera.width,
-            "height": camera.height,
+def _camera_params(camera) -> Dict[str, Any]:
+    """Parameter name -> value map (stats.py:386-390)."""
+    return {k: float(v) for k, v in camera.get_parameters_map().items()}
+
+
+def cameras_statistics(data, reconstructions) -> Dict[str, Any]:
+    """Initial vs optimized camera parameters + per-camera GPS bias
+    (stats.py:393-415)."""
+    from opensfm_tpu import io as osfm_io
+
+    out: Dict[str, Any] = {}
+    permutation = np.argsort([-len(r.shots) for r in reconstructions])
+    for camera_id, camera_model in data.load_camera_models().items():
+        out[camera_id] = {"initial_values": _camera_params(camera_model)}
+
+    for idx in permutation:
+        rec = reconstructions[idx]
+        for camera in rec.cameras.values():
+            if camera.id not in out or "optimized_values" in out[camera.id]:
+                continue
+            out[camera.id]["optimized_values"] = _camera_params(camera)
+            out[camera.id]["bias"] = osfm_io.bias_to_json(
+                rec.biases[camera.id]
+            )
+
+    for camera_id in list(out):
+        if "optimized_values" not in out[camera_id]:
+            del out[camera_id]
+    return out
+
+
+def rig_statistics(data, reconstructions) -> Dict[str, Any]:
+    """Initial vs optimized rig camera poses (stats.py:418-452); per-camera
+    (leverarm) rig cameras are skipped."""
+    out: Dict[str, Any] = {}
+    permutation = np.argsort([-len(r.shots) for r in reconstructions])
+    rig_cameras = data.load_rig_cameras()
+    cameras = data.load_camera_models()
+    for rig_camera_id, rig_camera in rig_cameras.items():
+        if rig_camera_id in cameras:
+            continue
+        out[rig_camera_id] = {
+            "initial_values": {
+                "rotation": list(rig_camera.pose.rotation),
+                "translation": list(rig_camera.pose.translation),
+            }
         }
-        out[camera_id].update(
-            {k: float(v) for k, v in camera.get_parameters_map().items()}
-        )
+
+    for idx in permutation:
+        rec = reconstructions[idx]
+        for rig_camera in rec.rig_cameras.values():
+            if rig_camera.id not in out or "optimized_values" in out[rig_camera.id]:
+                continue
+            out[rig_camera.id]["optimized_values"] = {
+                "rotation": list(rig_camera.pose.rotation),
+                "translation": list(rig_camera.pose.translation),
+            }
+
+    for rig_camera_id in list(out):
+        if "optimized_values" not in out[rig_camera_id]:
+            del out[rig_camera_id]
     return out
 
 
@@ -293,35 +381,13 @@ def compute_all_statistics(
     stats_out["reconstruction_statistics"] = reconstruction_statistics(
         data, tracks_manager, reconstructions
     )
-    stats_out["camera_errors"] = _camera_errors(data, reconstructions)
+    stats_out["camera_errors"] = cameras_statistics(data, reconstructions)
+    stats_out["rig_errors"] = rig_statistics(data, reconstructions)
     stats_out["gps_errors"] = gps_errors(reconstructions)
     stats_out["gcp_errors"] = gcp_errors(data, reconstructions)
     return stats_out
 
 
-def _camera_errors(data, reconstructions) -> Dict[str, Any]:
-    """Initial vs optimized camera parameters (stats.py:430-452)."""
-    out = {}
-    try:
-        initial = data.load_camera_models()
-    except Exception:
-        return {}
-    for camera_id, camera_initial in initial.items():
-        for rec in reconstructions:
-            if camera_id in rec.cameras:
-                optimized = rec.cameras[camera_id]
-                out[camera_id] = {
-                    "initial_values": {
-                        k: float(v)
-                        for k, v in camera_initial.get_parameters_map().items()
-                    },
-                    "optimized_values": {
-                        k: float(v)
-                        for k, v in optimized.get_parameters_map().items()
-                    },
-                }
-                break
-    return out
 
 
 # ---------------------------------------------------------------------------
