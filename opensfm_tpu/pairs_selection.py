@@ -51,17 +51,118 @@ def ordered_pairs(
     return list(ordered)
 
 
+def get_gps_point(
+    exif: Dict[str, Any], reference
+) -> Tuple[np.ndarray, np.ndarray]:
+    """GPS representative point + vertical viewing direction
+    (pairs_selection.py:35-46)."""
+    gps = exif["gps"]
+    direction = np.array([0.0, 0.0, 1.0])
+    return (
+        np.array(
+            reference.to_topocentric(gps["latitude"], gps["longitude"], 0)
+        ),
+        direction,
+    )
+
+
+DEFAULT_Z = 1.0
+MAXIMUM_Z = 8000
+SAMPLE_Z = 100
+
+
+def _sign(x: float) -> float:
+    return 1.0 if x > 0.0 else -1.0
+
+
+def get_gps_opk_point(
+    exif: Dict[str, Any], reference
+) -> Tuple[np.ndarray, np.ndarray]:
+    """GPS position + OPK-derived viewing direction, homogenized to z = 1
+    (pairs_selection.py:58-74)."""
+    import math
+
+    from opensfm_tpu.geometry.angles import rotation_from_opk
+
+    opk = exif["opk"]
+    omega, phi, kappa = (
+        math.radians(opk["omega"]),
+        math.radians(opk["phi"]),
+        math.radians(opk["kappa"]),
+    )
+    R_camera = np.asarray(rotation_from_opk(omega, phi, kappa))
+    z_axis = R_camera[2]
+    origin, _ = get_gps_point(exif, reference)
+    return origin, z_axis / (_sign(z_axis[2]) * z_axis[2]) * DEFAULT_Z
+
+
+def find_best_altitude(
+    origin: Dict[str, np.ndarray], directions: Dict[str, np.ndarray]
+) -> float:
+    """Altitude minimizing the XY bounding box of the projected points:
+    sample every SAMPLE_Z, regress a parabola, take its extremum
+    (pairs_selection.py:77-105)."""
+    directions_base = np.array(list(directions.values()))
+    origin_base = np.array(list(origin.values()))
+
+    samples_x, samples_y = [], []
+    for current_z in range(1, MAXIMUM_Z, SAMPLE_Z):
+        scaled = origin_base + directions_base / DEFAULT_Z * current_z
+        current_size = (
+            (np.max(scaled[:, 0]) - np.min(scaled[:, 0])) ** 2
+            + (np.max(scaled[:, 1]) - np.min(scaled[:, 1])) ** 2
+        )
+        samples_x.append(current_z)
+        samples_y.append(current_size)
+
+    coeffs = np.polyfit(samples_x, samples_y, 2)
+    extrema = -coeffs[1] / (2 * coeffs[0])
+    if extrema < 0:
+        logger.info(
+            "Altitude is negative (%s): viewing directions are probably "
+            "divergent; using default altitude %s", extrema, DEFAULT_Z,
+        )
+        extrema = DEFAULT_Z
+    return extrema
+
+
+def get_representative_points(
+    images: List[str], exifs: Dict[str, Any], reference
+) -> Dict[str, np.ndarray]:
+    """Topocentric point per image for distance-based pair selection: raw
+    GPS, or GPS pushed along the viewing direction to the common ground
+    altitude when orientation (OPK) tags exist
+    (pairs_selection.py:108-151)."""
+    origin: Dict[str, np.ndarray] = {}
+    directions: Dict[str, np.ndarray] = {}
+    had_orientation = False
+    for image in images:
+        exif = exifs[image]
+        gps = exif.get("gps", {})
+        if "latitude" not in gps or "longitude" not in gps:
+            continue
+        if "opk" in exif:
+            had_orientation = True
+            origin[image], directions[image] = get_gps_opk_point(
+                exif, reference
+            )
+        else:
+            origin[image], directions[image] = get_gps_point(exif, reference)
+
+    if had_orientation:
+        altitude = find_best_altitude(origin, directions)
+        logger.info("Altitude for orientation based matching %s", altitude)
+        return {
+            k: origin[k] + directions[k] / DEFAULT_Z * altitude
+            for k in origin
+        }
+    return origin
+
+
 def _gps_positions(
     images: List[str], exifs: Dict[str, Any], reference
 ) -> Dict[str, np.ndarray]:
-    out = {}
-    for im in images:
-        gps = exifs[im]["gps"]
-        alt = gps.get("altitude", 2.0)
-        out[im] = np.array(
-            reference.to_topocentric(gps["latitude"], gps["longitude"], alt)
-        )
-    return out
+    return get_representative_points(images, exifs, reference)
 
 
 def match_candidates_by_distance(
