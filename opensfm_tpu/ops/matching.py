@@ -62,21 +62,62 @@ def _pad_mask(mask: np.ndarray, n1_pad: int, n2_pad: int) -> np.ndarray:
     return out
 
 
+# Above this many distance-matrix cells the jnp path's [N, M] HBM
+# intermediate (cells*4 bytes, read+written around lax.top_k) dominates; the
+# fused Pallas kernel streams tiles through VMEM instead.
+_PALLAS_MIN_CELLS = 4096 * 4096
+
+
+def _use_pallas_top2(n1_pad: int, n2_pad: int) -> bool:
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return False
+    from opensfm_tpu.ops.pallas_kernels import top2 as _p
+
+    return (
+        n1_pad * n2_pad >= _PALLAS_MIN_CELLS
+        and n1_pad % _p.TILE_N == 0
+        and n2_pad % _p.TILE_M == 0
+    )
+
+
 def _one_way(
     f1p: np.ndarray, f2p: np.ndarray, n1: int, n2: int,
     ratio: float, mask: Optional[np.ndarray],
 ) -> Tuple[np.ndarray, np.ndarray]:
     """(best index, ratio-test pass) for each of the first n1 rows."""
+    if mask is not None and mask.shape != (n1, n2):
+        raise ValueError(
+            f"candidate mask shape {mask.shape} != ({n1}, {n2})"
+        )
+    if _use_pallas_top2(len(f1p), len(f2p)):
+        from opensfm_tpu.ops.pallas_kernels import top2_sqdist_pallas
+
+        pmask = (
+            None
+            if mask is None
+            else jnp.asarray(
+                _pad_mask(mask, len(f1p), len(f2p)).astype(np.float32)
+            )
+        )
+        idx2, dist = top2_sqdist_pallas(
+            jnp.asarray(f1p), jnp.asarray(f2p), n2, pmask
+        )
+        idx = np.repeat(np.asarray(idx2)[:n1], 2, axis=1)
+        dist = np.asarray(dist)[:n1]
+        dist = np.where(np.isinf(dist), np.inf, dist)
+        good = np.sqrt(np.maximum(dist[:, 0], 0)) < ratio * np.sqrt(
+            np.maximum(dist[:, 1], 1e-20)
+        )
+        good &= np.isfinite(dist[:, 1])
+        return idx[:, 0], good
     valid2 = np.arange(len(f2p)) < n2
     if mask is None:
         idx, dist = _top2_sqdist(
             jnp.asarray(f1p), jnp.asarray(f2p), jnp.asarray(valid2)
         )
     else:
-        if mask.shape != (n1, n2):
-            raise ValueError(
-                f"candidate mask shape {mask.shape} != ({n1}, {n2})"
-            )
         idx, dist = _top2_sqdist_masked(
             jnp.asarray(f1p), jnp.asarray(f2p), jnp.asarray(valid2),
             jnp.asarray(_pad_mask(mask, len(f1p), len(f2p))),
