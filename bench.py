@@ -32,7 +32,9 @@ def main() -> None:
 
     # Representative mid-size problem: 64 cameras, 8192 points, ~200k obs.
     n_shots, n_points = 64, 8192
-    problem = _make_problem(n_shots=n_shots, n_points=n_points, seed=0)
+    problem = lm.canonicalize_problem(
+        _make_problem(n_shots=n_shots, n_points=n_points, seed=0)
+    )
     ni, nr, nc, npts, O, T = problem.counts()
     pmax = problem.cam.shape[1]
     dtype = jnp.float32
@@ -76,6 +78,7 @@ def main() -> None:
             return lm._lm_step(
                 st, data, lam, ptype=ptype, loss=loss,
                 loss_threshold=loss_threshold, pmax=pmax, ni=ni, nr=nr, nc=nc,
+                canonical=True,
             )
 
         return jax.lax.fori_loop(0, iters, body, state)

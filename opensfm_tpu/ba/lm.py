@@ -229,7 +229,11 @@ def _residual_data(state, data, ptype, loss, loss_threshold, pmax,
 
         # Jacobians via vmap over the (D+3)-dim tangent basis: each pass is
         # one fully-vectorized JVP over all observations (vs a per-obs
-        # jacfwd, which is gather-bound on TPU).
+        # jacfwd, which is gather-bound on TPU).  NOTE: an analytic
+        # chain-rule variant (JVPs only through the projection head + closed
+        # -form pose chain) was measured 4x SLOWER on v5e — the [O,K,3,3]
+        # broadcast chains and extra transposes lose to XLA's fusion of the
+        # plain basis sweep.  Keep the sweep.
         basis = jnp.eye(D + 3, dtype=combo.dtype)
 
         def push(e):
@@ -311,6 +315,80 @@ def _prior_residuals(state, data):
     out.append((r, J, "rigcam"))
 
     return out
+
+
+def _inv3x3(A):
+    """Closed-form batched 3x3 inverse (adjugate / det).
+
+    jnp.linalg.inv lowers to batched LU with pivoting, which serializes on
+    TPU; the adjugate form is nine fused multiplies on the VPU (~4x faster
+    at NP=8192, measured on v5e)."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    co00 = e * i - f * h
+    co01 = c * h - b * i
+    co02 = b * f - c * e
+    co10 = f * g - d * i
+    co11 = a * i - c * g
+    co12 = c * d - a * f
+    co20 = d * h - e * g
+    co21 = b * g - a * h
+    co22 = a * e - b * d
+    det = a * co00 + b * co10 + c * co20
+    adj = jnp.stack(
+        [co00, co01, co02, co10, co11, co12, co20, co21, co22], axis=-1
+    ).reshape(A.shape)
+    return adj / det[..., None, None]
+
+
+def canonicalize_problem(problem: "BAProblem") -> "BAProblem":
+    """Reorder observations into padded (point, slot) flat layout.
+
+    After this, `point_obs[p, t] == p*T + t` and every obs array has length
+    NP*T (pad slots carry obs_inv_sd == 0, which zeroes their residual and
+    Jacobian rows).  The jitted core can then reshape [NP*T] -> [NP, T]
+    instead of gathering through the CSR index — the gather was ~1/3 of the
+    LM step wall time on TPU.  Idempotent; cheap (one numpy fancy-index)."""
+    if not isinstance(problem.ptype, str):
+        # Mixed-camera problems keep type-sorted obs segments; the (point,
+        # slot) order would interleave projection types.  Gather path stays.
+        return problem
+    NP, T = problem.point_obs.shape
+    O = len(problem.obs_uv)
+    po = np.asarray(problem.point_obs)
+    if O == NP * T and np.array_equal(
+        po, np.arange(NP * T, dtype=po.dtype).reshape(NP, T)
+    ):
+        return problem
+    valid = po < O
+    idx = np.where(valid, po, 0)
+
+    def take(x, fill=0):
+        out = np.asarray(x)[idx]
+        out[~valid] = fill
+        return out.reshape((NP * T,) + x.shape[1:])
+
+    import dataclasses
+
+    repl = dict(
+        obs_uv=take(problem.obs_uv, 0.0),
+        obs_inv_sd=take(problem.obs_inv_sd, 0.0),
+        obs_point=np.repeat(
+            np.arange(NP, dtype=problem.obs_point.dtype), T
+        ),
+        obs_inst=take(problem.obs_inst, 0),
+        obs_rigcam=take(problem.obs_rigcam, 0),
+        obs_cam=take(problem.obs_cam, 0),
+        point_obs=np.arange(NP * T, dtype=po.dtype).reshape(NP, T),
+    )
+    if problem.obs_depth is not None:
+        repl["obs_depth"] = take(problem.obs_depth, 0.0)
+    if problem.obs_depth_inv_sd is not None:
+        repl["obs_depth_inv_sd"] = take(problem.obs_depth_inv_sd, 0.0)
+    if problem.obs_depth_radial is not None:
+        repl["obs_depth_radial"] = take(problem.obs_depth_radial, False)
+    return dataclasses.replace(problem, **repl)
 
 
 def _wrap_angle(a):
@@ -404,14 +482,15 @@ def _shot_prior_residuals(state, data, raw=False):
 
 
 def _build_reduced_system(state, data, lam, ptype, loss, loss_threshold,
-                          pmax, ni, nr, nc, with_depth):
+                          pmax, ni, nr, nc, with_depth, canonical=False):
     """Assemble the Schur-reduced camera system.
 
-    Scatter-free assembly (TPU scatters serialize): observations are gathered
-    into the per-point CSR layout [NP, T], block families of the reduced
-    camera system are contracted with one-hot selectors over the SMALL
-    index sets (instances, rig cameras, cameras) as pure einsums/matmuls,
-    and the dense S is assembled by block concatenation.
+    Scatter-free assembly (TPU scatters serialize): per-point structure
+    comes from the padded (point, slot) layout — a free reshape when
+    `canonical` (see `canonicalize_problem`), a CSR gather otherwise — and
+    block families of the reduced camera system are contracted with one-hot
+    selectors as flat [O, n] matmuls (MXU) over the SMALL index sets
+    (instances, rig cameras, cameras).
 
     Returns (S, b, back) where `back` carries what back-substitution needs.
     """
@@ -422,6 +501,7 @@ def _build_reduced_system(state, data, lam, ptype, loss, loss_threshold,
     r, Jc, Jp, _ = _residual_data(
         state, data, ptype, loss, loss_threshold, pmax, with_depth
     )
+    num_obs = r.shape[0]
 
     # Mask Jacobians of fixed parameters (zero rows instead of index games).
     opt_p = data["opt_points"][data["obs_point"]].astype(dtype)
@@ -433,12 +513,17 @@ def _build_reduced_system(state, data, lam, ptype, loss, loss_threshold,
     Jr = Jc[:, :, 6:12] * opt_r_o[:, None, None]
     Jcam = Jc[:, :, 12:] * opt_c_o[:, None, :]
 
-    # Gather into per-point layout [NP, T, ...] (trash slot -> zero row).
-    po = data["point_obs"]  # [NP, T], padded with O
+    # Per-point layout [NP, T, ...]: reshape when canonical, gather otherwise
+    # (trash slot -> zero row).
+    if canonical:
+        def padded(x):
+            return x.reshape((np_pts, -1) + x.shape[1:])
+    else:
+        po = data["point_obs"]  # [NP, T], padded with O
 
-    def padded(x):
-        pad = jnp.zeros((1,) + x.shape[1:], dtype=x.dtype)
-        return jnp.concatenate([x, pad])[po]
+        def padded(x):
+            pad = jnp.zeros((1,) + x.shape[1:], dtype=x.dtype)
+            return jnp.concatenate([x, pad])[po]
 
     r_pt = padded(r)  # [NP,T,2]
     Ji_pt = padded(Ji)  # [NP,T,2,6]
@@ -449,13 +534,25 @@ def _build_reduced_system(state, data, lam, ptype, loss, loss_threshold,
     rig_pt = padded(data["obs_rigcam"])
     cam_pt = padded(data["obs_cam"])
 
-    E_i = jax.nn.one_hot(inst_pt, ni, dtype=dtype)  # [NP,T,NI]
-    E_r = jax.nn.one_hot(rig_pt, nr, dtype=dtype)
-    E_c = jax.nn.one_hot(cam_pt, nc, dtype=dtype)
+    # Flat one-hots feed the direct (non-Schur) terms as [O, n] matmuls;
+    # their point-layout views (reshape/gather) feed the Schur factors.
+    # Every valid obs appears exactly once in the point layout, so flat sums
+    # equal [NP,T] sums; gathered trash slots become all-zero selector rows.
+    Ei_f = jax.nn.one_hot(data["obs_inst"], ni, dtype=dtype)  # [O,NI]
+    Er_f = jax.nn.one_hot(data["obs_rigcam"], nr, dtype=dtype)
+    Ec_f = jax.nn.one_hot(data["obs_cam"], nc, dtype=dtype)
+    E_i = padded(Ei_f)  # [NP,T,NI]
+    E_r = padded(Er_f)
+    E_c = padded(Ec_f)
 
     # --- point system (pure reshaped reductions) ---------------------------
-    Hpp = jnp.einsum("ptki,ptkj->pij", Jp_pt, Jp_pt)
-    bp = jnp.einsum("ptki,ptk->pi", Jp_pt, r_pt)
+    # Small contractions (k=2, j=3) are written as broadcast-sums throughout:
+    # einsum lowers them to per-element MXU dispatches on TPU (measured 3-15x
+    # slower than the fused VPU form at these shapes).
+    Hpp = jnp.sum(
+        Jp_pt[..., :, None] * Jp_pt[..., None, :], axis=(1, 2)
+    )  # [NP,3,3]
+    bp = jnp.sum(Jp_pt * r_pt[..., None], axis=(1, 2))  # [NP,3]
     pp_r = (points - data["point_prior"]) * data["point_prior_inv_sd"]
     pp_w = data["point_prior_inv_sd"] ** 2
     Hpp = Hpp + jax.vmap(jnp.diag)(pp_w)
@@ -464,7 +561,7 @@ def _build_reduced_system(state, data, lam, ptype, loss, loss_threshold,
     Hpp = Hpp + lam * jax.vmap(jnp.diag)(jnp.diagonal(Hpp, axis1=1, axis2=2)) \
         + 1e-12 * eyep
     opt_p_pts = data["opt_points"].astype(dtype)[:, None, None]
-    Hpp_inv = jnp.linalg.inv(Hpp) * opt_p_pts
+    Hpp_inv = _inv3x3(Hpp) * opt_p_pts
 
     # --- camera-point couplings and Schur factors --------------------------
     blocks = [("i", Ji_pt, E_i, ni, 6), ("c", Jc_pt, E_c, nc, pmax),
@@ -473,24 +570,42 @@ def _build_reduced_system(state, data, lam, ptype, loss, loss_threshold,
     U = {}
     V = {}
     for name, J_pt, E, n_blk, bdim in blocks:
-        Ga = jnp.einsum("ptki,ptkj->ptij", J_pt, Jp_pt)  # [NP,T,bdim,3]
-        Aa = jnp.einsum("ptij,pjk->ptik", Ga, Hpp_inv)
+        Ga = jnp.sum(
+            J_pt[..., :, :, None] * Jp_pt[..., :, None, :], axis=2
+        )  # [NP,T,bdim,3]
+        Aa = jnp.sum(
+            Ga[..., None] * Hpp_inv[:, None, None, :, :], axis=-2
+        )
         G[name] = Ga
+        # Contractions over T are real matmuls — keep them on the MXU.
         U[name] = jnp.einsum("pta,ptxk->paxk", E, Aa)  # [NP,n,bdim,3]
         V[name] = jnp.einsum("pta,ptxk->paxk", E, Ga)
 
-    # --- block families of S and b ----------------------------------------
-    def direct_diag(E, J_pt):
-        # Same-obs block-diagonal contributions (one block per obs).
-        M = jnp.einsum("ptkx,ptky->ptxy", J_pt, J_pt)
-        return jnp.einsum("pta,ptxy->axy", E, M)
+    # --- block families of S and b (flat MXU matmuls) -----------------------
+    flat = {"i": (Ei_f, Ji.reshape(num_obs, -1, 6)),
+            "r": (Er_f, Jr.reshape(num_obs, -1, 6)),
+            "c": (Ec_f, Jcam.reshape(num_obs, -1, pmax))}
 
-    def direct_cross(E_a, J_a, E_b, J_b, nb_small):
-        """Cross block; E_b must be the SMALL side (explicit path keeps the
-        [NP,T,nb,x,y] intermediate bounded)."""
-        M = jnp.einsum("ptkx,ptky->ptxy", J_a, J_b)
-        T1 = M[:, :, None, :, :] * E_b[:, :, :, None, None]
-        return jnp.einsum("pta,ptbxy->axby", E_a, T1)
+    def direct_diag(name):
+        # Same-obs block-diagonal contributions (one block per obs).
+        E, Jf = flat[name]
+        M = jnp.sum(Jf[:, :, :, None] * Jf[:, :, None, :], axis=1)
+        x = M.shape[1]
+        return (E.T @ M.reshape(num_obs, x * x)).reshape(-1, x, x)
+
+    def direct_cross(a, b_):
+        """Cross block; family b_ must be the SMALL side (the [O, nb, x, y]
+        intermediate stays bounded)."""
+        E_a, J_a = flat[a]
+        E_b, J_b = flat[b_]
+        M = jnp.sum(
+            J_a[:, :, :, None] * J_b[:, :, None, :], axis=1
+        )  # [O, xa, yb]
+        xa, yb = M.shape[1], M.shape[2]
+        nb = E_b.shape[1]
+        T1 = M[:, None, :, :] * E_b[:, :, None, None]  # [O, nb, xa, yb]
+        out = E_a.T @ T1.reshape(num_obs, nb * xa * yb)
+        return out.reshape(-1, nb, xa, yb).transpose(0, 2, 1, 3)
 
     def schur(a, b_):
         return jnp.einsum("paxk,pbyk->axby", U[a], V[b_])
@@ -500,20 +615,21 @@ def _build_reduced_system(state, data, lam, ptype, loss, loss_threshold,
         eye_n = jnp.eye(n_blk, dtype=dtype)
         return jnp.einsum("axy,ab->axby", D, eye_n)
 
-    S_II = expand_diag(direct_diag(E_i, Ji_pt), ni, 6) - schur("i", "i")
-    S_RR = expand_diag(direct_diag(E_r, Jr_pt), nr, 6) - schur("r", "r")
-    S_CC = expand_diag(direct_diag(E_c, Jc_pt), nc, pmax) - schur("c", "c")
-    S_IR = direct_cross(E_i, Ji_pt, E_r, Jr_pt, nr) - schur("i", "r")
-    S_IC = direct_cross(E_i, Ji_pt, E_c, Jc_pt, nc) - schur("i", "c")
-    S_RC = direct_cross(E_r, Jr_pt, E_c, Jc_pt, nc) - schur("r", "c")
+    S_II = expand_diag(direct_diag("i"), ni, 6) - schur("i", "i")
+    S_RR = expand_diag(direct_diag("r"), nr, 6) - schur("r", "r")
+    S_CC = expand_diag(direct_diag("c"), nc, pmax) - schur("c", "c")
+    S_IR = direct_cross("i", "r") - schur("i", "r")
+    S_IC = direct_cross("i", "c") - schur("i", "c")
+    S_RC = direct_cross("r", "c") - schur("r", "c")
 
-    Hib = jnp.einsum("pij,pj->pi", Hpp_inv, bp)  # [NP,3]
+    Hib = jnp.sum(Hpp_inv * bp[:, None, :], axis=-1)  # [NP,3]
 
-    def rhs(name, E, J_pt, n_blk, bdim):
-        JTr = jnp.einsum("ptkx,ptk->ptx", J_pt, r_pt)
-        direct = jnp.einsum("pta,ptx->ax", E, JTr)
-        GH = jnp.einsum("ptxk,pk->ptx", G[name], Hib)
-        gschur = jnp.einsum("pta,ptx->ax", E, GH)
+    def rhs(name, E_pt, J_pt, n_blk, bdim):
+        E_f, J_f = flat[name]
+        JTr = jnp.sum(J_f * r[:, :, None], axis=1)  # [O, bdim]
+        direct = E_f.T @ JTr  # [n, bdim]
+        GH = jnp.sum(G[name] * Hib[:, None, None, :], axis=-1)  # [NP,T,bdim]
+        gschur = jnp.einsum("pta,ptx->ax", E_pt, GH)
         return (direct - gschur).reshape(n_blk * bdim)
 
     b_i = rhs("i", E_i, Ji_pt, ni, 6)
@@ -610,18 +726,25 @@ def _build_reduced_system(state, data, lam, ptype, loss, loss_threshold,
     jax.jit,
     static_argnames=(
         "ptype", "loss", "loss_threshold", "pmax", "ni", "nr", "nc",
-        "with_depth",
+        "with_depth", "canonical",
     ),
 )
 def _lm_step(state, data, lam, ptype, loss, loss_threshold, pmax, ni, nr, nc,
-             with_depth=False):
+             with_depth=False, canonical=False):
     """One damped LM step: assemble, Schur-eliminate points, solve, update."""
     inst, rigcam, cam, points = state
     S, b, back = _build_reduced_system(
         state, data, lam, ptype, loss, loss_threshold, pmax, ni, nr, nc,
-        with_depth,
+        with_depth, canonical,
     )
-    dx_c = jnp.linalg.solve(S, b)
+    # S is SPD after damping + identity rows: Cholesky beats the LU lowering.
+    L = jax.lax.linalg.cholesky(S)
+    y = jax.lax.linalg.triangular_solve(
+        L, b[:, None], left_side=True, lower=True
+    )
+    dx_c = jax.lax.linalg.triangular_solve(
+        L, y, left_side=True, lower=True, transpose_a=True
+    )[:, 0]
 
     # --- back-substitute points (gathers only) -----------------------------
     di, dr = ni * 6, nr * 6
@@ -634,7 +757,7 @@ def _lm_step(state, data, lam, ptype, loss, loss_threshold, pmax, ni, nr, nc,
         + jnp.einsum("ptxk,ptx->pk", G["r"], dx_r[back["rig_pt"]])
         + jnp.einsum("ptxk,ptx->pk", G["c"], dx_cam[back["cam_pt"]])
     )
-    dx_p = jnp.einsum("pij,pj->pi", Hpp_inv, bp - u)
+    dx_p = jnp.sum(Hpp_inv * (bp - u)[:, None, :], axis=-1)
 
     new_state = (
         inst - dx_i,
@@ -649,11 +772,11 @@ def _lm_step(state, data, lam, ptype, loss, loss_threshold, pmax, ni, nr, nc,
     jax.jit,
     static_argnames=(
         "ptype", "loss", "loss_threshold", "pmax", "ni", "nr", "nc",
-        "with_depth",
+        "with_depth", "canonical",
     ),
 )
 def _instance_covariances(state, data, ptype, loss, loss_threshold, pmax,
-                          ni, nr, nc, with_depth=False):
+                          ni, nr, nc, with_depth=False, canonical=False):
     """Marginal 6x6 covariances of the rig-instance poses.
 
     Mirrors ComputeCovariances (bundle_adjuster.cc:1123-1194): the points are
@@ -662,7 +785,7 @@ def _instance_covariances(state, data, ptype, loss, loss_threshold, pmax,
     tangent parametrization)."""
     S, _, _ = _build_reduced_system(
         state, data, jnp.zeros((), dtype=state[3].dtype), ptype, loss,
-        loss_threshold, pmax, ni, nr, nc, with_depth,
+        loss_threshold, pmax, ni, nr, nc, with_depth, canonical,
     )
     Sinv = jnp.linalg.inv(S)
     blocks = Sinv[: ni * 6, : ni * 6].reshape(ni, 6, ni, 6)
@@ -729,6 +852,8 @@ def bundle_adjust(
 ) -> BAResult:
     """Run LM to convergence (host-controlled damping loop; each trial step
     and cost evaluation is one fused jitted device call)."""
+    problem = canonicalize_problem(problem)
+    canonical = isinstance(problem.ptype, str)
     ni, nr, nc, npts, num_obs, T = problem.counts()
     pmax = problem.cam.shape[1]
 
@@ -796,6 +921,7 @@ def bundle_adjust(
         loss_threshold=float(problem.loss_threshold), pmax=pmax,
         with_depth=with_depth,
     )
+    step_statics = dict(statics, canonical=canonical)
 
     cost = float(_total_cost(state, data, **statics))
     initial_cost = cost
@@ -808,7 +934,7 @@ def bundle_adjust(
             # jaxpr as a constant and force a recompile per damping value.
             new_state = _lm_step(
                 state, data, jnp.asarray(lam, dtype=dtype), ni=ni, nr=nr, nc=nc,
-                **statics,
+                **step_statics,
             )
             new_cost = float(_total_cost(new_state, data, **statics))
             if np.isfinite(new_cost) and new_cost < cost:
@@ -829,7 +955,7 @@ def bundle_adjust(
     covariance_valid = False
     if compute_covariances:
         cov, valid = _instance_covariances(
-            state, data, ni=ni, nr=nr, nc=nc, **statics
+            state, data, ni=ni, nr=nr, nc=nc, **step_statics
         )
         covariances = np.asarray(cov)
         covariance_valid = bool(valid)

@@ -43,8 +43,11 @@ def rotvec_to_matrix(r: jnp.ndarray) -> jnp.ndarray:
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
     b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / safe2)
     K = hat(r)
-    K2 = K @ K
+    # K^2 = r r^T - |r|^2 I: avoids a batched 3x3 matmul, which lowers to
+    # one tiny MXU dispatch per element on TPU.
+    rrT = r[..., :, None] * r[..., None, :]
     eye = jnp.broadcast_to(jnp.eye(3, dtype=r.dtype), K.shape)
+    K2 = rrT - theta2[..., None, None] * eye
     return eye + a[..., None, None] * K + b[..., None, None] * K2
 
 
