@@ -227,25 +227,27 @@ def _residual_data(state, data, ptype, loss, loss_threshold, pmax,
         f = make_batched(pt)
         r_ = f(combo, X, uv, inv_sd, dep)
 
-        # Jacobians via vmap over the (D+3)-dim tangent basis: each pass is
-        # one fully-vectorized JVP over all observations (vs a per-obs
-        # jacfwd, which is gather-bound on TPU).  NOTE: an analytic
-        # chain-rule variant (JVPs only through the projection head + closed
-        # -form pose chain) was measured 4x SLOWER on v5e — the [O,K,3,3]
-        # broadcast chains and extra transposes lose to XLA's fusion of the
-        # plain basis sweep.  Keep the sweep.
-        basis = jnp.eye(D + 3, dtype=combo.dtype)
+        # Jacobians as an unrolled loop of (D+3) fully-vectorized JVPs, one
+        # per tangent-basis direction.  The unrolled form lets XLA CSE the
+        # shared primal trig across directions and fuse each push into one
+        # [O]-major elementwise kernel; the vmap-over-basis form instead
+        # materializes [D+3, O, K] intermediates in T(1,128) layouts
+        # (measured 2.2x slower on v5e), and an analytic chain-rule variant
+        # (JVPs only through the projection head + closed-form pose chain)
+        # was 3x slower again — [O,K,3,3] broadcast chains and transposes
+        # lose to XLA's fusion of plain JVP pushes.
+        basis = np.eye(D + 3, dtype=np.float32)
 
         def push(e):
-            tc = jnp.broadcast_to(e[:D], combo.shape)
-            tx = jnp.broadcast_to(e[D:], X.shape)
+            tc = jnp.broadcast_to(jnp.asarray(e[:D], dtype=combo.dtype), combo.shape)
+            tx = jnp.broadcast_to(jnp.asarray(e[D:], dtype=X.dtype), X.shape)
             return jax.jvp(
                 lambda c, x: f(c, x, uv, inv_sd, dep), (combo, X), (tc, tx)
             )[1]
 
-        Jall = jax.vmap(push)(basis)  # [D+3, O, K]
-        Jc_ = jnp.moveaxis(Jall[:D], 0, -1)  # [O, K, D]
-        Jp_ = jnp.moveaxis(Jall[D:], 0, -1)  # [O, K, 3]
+        cols = [push(basis[k]) for k in range(D + 3)]  # (D+3) x [O, K]
+        Jc_ = jnp.stack(cols[:D], axis=-1)  # [O, K, D]
+        Jp_ = jnp.stack(cols[D:], axis=-1)  # [O, K, 3]
         rs.append(r_)
         Jcs.append(Jc_)
         Jps.append(Jp_)
