@@ -163,6 +163,30 @@ def root_feature(desc: np.ndarray, l2_normalization: bool = False) -> np.ndarray
     return desc
 
 
+def root_feature_surf(
+    desc: np.ndarray, l2_normalization: bool = False, partial: bool = False
+) -> np.ndarray:
+    """Square-root mapping of SURF-like 64-d descriptors
+    (root_feature_surf, features.py:301-321): signed sqrt of (a subset of)
+    components, L1-normalized by the full descriptor."""
+    if desc.shape[1] != 64:
+        return desc
+    desc = desc.copy()
+    if l2_normalization:
+        s2 = np.linalg.norm(desc, axis=1)
+        desc = (desc.T / s2).T
+    if partial:
+        ii = np.array([i for i in range(64) if (i % 4 == 2 or i % 4 == 3)])
+    else:
+        ii = np.arange(64)
+    desc_sub = np.abs(desc[:, ii])
+    desc_sub_sign = np.sign(desc[:, ii])
+    s_sub = np.sum(np.abs(desc), 1)
+    desc_sub = np.sqrt(desc_sub.T / s_sub).T
+    desc[:, ii] = desc_sub * desc_sub_sign
+    return desc
+
+
 def normalize_features(
     points: np.ndarray, desc: np.ndarray, colors: np.ndarray,
     width: int, height: int,
@@ -246,6 +270,51 @@ def extract_features_orb(image, config, features_count):
     return points, desc
 
 
+def extract_features_akaze(image, config, features_count):
+    """TPU-native AKAZE: FED nonlinear scale space in JAX (ops/akaze.py),
+    mirroring the reference driver (features.py:485-513) incl. the
+    root-SURF mapping of M-SURF descriptors."""
+    from opensfm_tpu.ops.akaze import extract_akaze_features
+
+    points, desc = extract_akaze_features(image, config, features_count)
+    name = str(config.get("akaze_descriptor", "MSURF")).upper()
+    if config.get("feature_root") and len(desc):
+        if name in ("SURF_UPRIGHT", "MSURF_UPRIGHT"):
+            desc = root_feature_surf(desc, partial=True)
+        elif name in ("SURF", "MSURF"):
+            desc = root_feature_surf(desc, partial=False)
+    return points.astype(float), desc
+
+
+def extract_features_surf(image, config, features_count):
+    """OpenCV-contrib SURF with the reference's threshold-anneal loop
+    (features.py:420-474).  Requires cv2.xfeatures2d (contrib build)."""
+    import cv2
+
+    if not hasattr(cv2, "xfeatures2d"):
+        raise RuntimeError(
+            "OpenCV Contrib modules are required to extract SURF features"
+        )
+    threshold = float(config["surf_hessian_threshold"])
+    detector = cv2.xfeatures2d.SURF_create()
+    detector.setNOctaves(config["surf_n_octaves"])
+    detector.setNOctaveLayers(config["surf_n_octavelayers"])
+    detector.setUpright(config["surf_upright"])
+    while True:
+        detector.setHessianThreshold(threshold)
+        kp = detector.detect(image)
+        if len(kp) >= features_count or threshold <= 0.0001:
+            break
+        threshold = (threshold * 2) / 3
+    kp, desc = detector.compute(image, kp)
+    if desc is None:
+        return np.zeros((0, 4)), np.zeros((0, 64))
+    if config.get("feature_root"):
+        desc = root_feature(desc)
+    points = np.array([(k.pt[0], k.pt[1], k.size, k.angle) for k in kp])
+    return points, desc
+
+
 def extract_features(
     image: np.ndarray, config: Dict[str, Any], is_panorama: bool
 ) -> FeaturesData:
@@ -279,8 +348,14 @@ def extract_features(
         points, desc = extract_features_sift_cv(image_gray, config, features_count)
     elif feature_type == "ORB":
         points, desc = extract_features_orb(image_gray, config, features_count)
+    elif feature_type == "AKAZE":
+        points, desc = extract_features_akaze(image_gray, config, features_count)
+    elif feature_type == "SURF":
+        points, desc = extract_features_surf(image_gray, config, features_count)
     else:
-        raise ValueError(f"Unknown feature type {feature_type}")
+        raise ValueError(
+            "Unknown feature type (must be SURF, SIFT, AKAZE, HAHOG or ORB)"
+        )
 
     if len(points) == 0:
         return FeaturesData(
