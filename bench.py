@@ -78,7 +78,7 @@ def main() -> None:
             return lm._lm_step(
                 st, data, lam, ptype=ptype, loss=loss,
                 loss_threshold=loss_threshold, pmax=pmax, ni=ni, nr=nr, nc=nc,
-                canonical=True,
+                canonical=True, rig_transform=False, rig_jac=False,
             )
 
         return jax.lax.fori_loop(0, iters, body, state)

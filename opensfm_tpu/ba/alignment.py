@@ -14,6 +14,8 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from opensfm_tpu.ops import linalg as tpu_linalg
+
 logger = logging.getLogger(__name__)
 
 
@@ -282,7 +284,7 @@ class ReconstructionAlignment:
             H = J.T @ J
             g = J.T @ r
             H = H + lam * jnp.diag(jnp.diagonal(H)) + 1e-9 * jnp.eye(H.shape[0])
-            step = jnp.linalg.solve(H, g)
+            step = tpu_linalg.solve_spd(H, g)
             return theta - step * mask_j, 0.5 * jnp.sum(r * r)
 
         @jax.jit

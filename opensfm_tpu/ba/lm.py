@@ -36,6 +36,8 @@ import numpy as np
 from opensfm_tpu.geometry import cameras as cam_lib
 from opensfm_tpu.geometry import rotation as rot
 
+from opensfm_tpu.ops import linalg as tpu_linalg
+
 # ---------------------------------------------------------------------------
 # Robust losses (Ceres semantics: rho(s) on squared norm s, scale a applies
 # as a^2 * rho(s / a^2)).  IRLS weight = rho'(s).
@@ -165,10 +167,11 @@ def _origin(pose6):
 
 @partial(
     jax.jit,
-    static_argnames=("ptype", "loss", "loss_threshold", "pmax", "with_depth"),
+    static_argnames=("ptype", "loss", "loss_threshold", "pmax", "with_depth",
+                     "rig_transform", "rig_jac"),
 )
 def _residual_data(state, data, ptype, loss, loss_threshold, pmax,
-                   with_depth=False):
+                   with_depth=False, rig_transform=True, rig_jac=True):
     """Per-observation weighted residuals + Jacobians + robust IRLS weights.
 
     `ptype` is either a single projection type string or a tuple of
@@ -177,16 +180,26 @@ def _residual_data(state, data, ptype, loss, loss_threshold, pmax,
     scaled by sqrt(w), plus the per-obs robust cost for the objective.
     K = 2, or 3 when `with_depth` adds the depth-prior row
     (RelativeDepthError: a separate Ceres block sharing the projection loss,
-    so it carries its own IRLS weight)."""
+    so it carries its own IRLS weight).
+
+    `rig_transform=False` (all rig cameras identity — the mono-pipeline
+    case) drops the rig rotation from the chain; `rig_jac=False` (no rig
+    camera is optimized — identity OR calibrated-and-locked rigs) drops its
+    6 Jacobian columns: Jc is then [O, K, 6+pmax] and the caller skips every
+    r-family block."""
     inst, rigcam, cam, points = state
     d = data
+    roff = 12 if rig_transform else 6  # camera-params offset inside combo
 
     def make_batched(pt):
         def res_fn(combo, X, uv, inv_sd, dep):
-            # combo: [O, 12+pmax]; X: [O, 3] — fully vectorized over obs.
+            # combo: [O, roff+pmax]; X: [O, 3] — fully vectorized over obs.
             Xi = rot.rotate(combo[:, 0:3], X) + combo[:, 3:6]
-            Xc = rot.rotate(combo[:, 6:9], Xi) + combo[:, 9:12]
-            pred = cam_lib.project(pt, Xc, combo[:, 12 : 12 + pmax], xp=jnp)
+            if rig_transform:
+                Xc = rot.rotate(combo[:, 6:9], Xi) + combo[:, 9:12]
+            else:
+                Xc = Xi
+            pred = cam_lib.project(pt, Xc, combo[:, roff : roff + pmax], xp=jnp)
             diff = pred - uv
             if pt == "spherical":
                 # Wrap the panorama seam (the reference instead uses a 3D
@@ -205,17 +218,19 @@ def _residual_data(state, data, ptype, loss, loss_threshold, pmax,
 
     segments = ((ptype, 0, d["obs_uv"].shape[0]),) if isinstance(ptype, str) else ptype
     rs, Jcs, Jps = [], [], []
-    D = 12 + pmax
+    D = roff + pmax
+    # Tangent directions to push: skip the rig-camera block when unused.
+    if rig_transform and not rig_jac:
+        push_dirs = list(range(0, 6)) + list(range(12, D + 3))
+    else:
+        push_dirs = list(range(D + 3))
     for pt, start, end in segments:
         sl = slice(start, end)
-        combo = jnp.concatenate(
-            [
-                inst[d["obs_inst"][sl]],
-                rigcam[d["obs_rigcam"][sl]],
-                cam[d["obs_cam"][sl]],
-            ],
-            axis=1,
-        )
+        parts = [inst[d["obs_inst"][sl]]]
+        if rig_transform:
+            parts.append(rigcam[d["obs_rigcam"][sl]])
+        parts.append(cam[d["obs_cam"][sl]])
+        combo = jnp.concatenate(parts, axis=1)
         X = points[d["obs_point"][sl]]
         uv = d["obs_uv"][sl]
         inv_sd = d["obs_inv_sd"][sl]
@@ -245,9 +260,10 @@ def _residual_data(state, data, ptype, loss, loss_threshold, pmax,
                 lambda c, x: f(c, x, uv, inv_sd, dep), (combo, X), (tc, tx)
             )[1]
 
-        cols = [push(basis[k]) for k in range(D + 3)]  # (D+3) x [O, K]
-        Jc_ = jnp.stack(cols[:D], axis=-1)  # [O, K, D]
-        Jp_ = jnp.stack(cols[D:], axis=-1)  # [O, K, 3]
+        cols = [push(basis[k]) for k in push_dirs]  # per pushed dir: [O, K]
+        n_cam_dirs = len(push_dirs) - 3
+        Jc_ = jnp.stack(cols[:n_cam_dirs], axis=-1)  # [O, K, D or 6+pmax]
+        Jp_ = jnp.stack(cols[n_cam_dirs:], axis=-1)  # [O, K, 3]
         rs.append(r_)
         Jcs.append(Jc_)
         Jps.append(Jp_)
@@ -484,7 +500,8 @@ def _shot_prior_residuals(state, data, raw=False):
 
 
 def _build_reduced_system(state, data, lam, ptype, loss, loss_threshold,
-                          pmax, ni, nr, nc, with_depth, canonical=False):
+                          pmax, ni, nr, nc, with_depth, canonical=False,
+                          rig_transform=True, rig_jac=True):
     """Assemble the Schur-reduced camera system.
 
     Scatter-free assembly (TPU scatters serialize): per-point structure
@@ -501,7 +518,8 @@ def _build_reduced_system(state, data, lam, ptype, loss, loss_threshold,
     dtype = points.dtype
 
     r, Jc, Jp, _ = _residual_data(
-        state, data, ptype, loss, loss_threshold, pmax, with_depth
+        state, data, ptype, loss, loss_threshold, pmax, with_depth,
+        rig_transform=rig_transform, rig_jac=rig_jac,
     )
     num_obs = r.shape[0]
 
@@ -509,11 +527,15 @@ def _build_reduced_system(state, data, lam, ptype, loss, loss_threshold,
     opt_p = data["opt_points"][data["obs_point"]].astype(dtype)
     Jp = Jp * opt_p[:, None, None]
     opt_i_o = data["opt_inst"][data["obs_inst"]].astype(dtype)
-    opt_r_o = data["opt_rigcam"][data["obs_rigcam"]].astype(dtype)
     opt_c_o = data["opt_cam"][data["obs_cam"]].astype(dtype)  # [O, pmax]
     Ji = Jc[:, :, 0:6] * opt_i_o[:, None, None]
-    Jr = Jc[:, :, 6:12] * opt_r_o[:, None, None]
-    Jcam = Jc[:, :, 12:] * opt_c_o[:, None, :]
+    if rig_jac:
+        opt_r_o = data["opt_rigcam"][data["obs_rigcam"]].astype(dtype)
+        Jr = Jc[:, :, 6:12] * opt_r_o[:, None, None]
+        Jcam = Jc[:, :, 12:] * opt_c_o[:, None, :]
+    else:
+        Jr = None
+        Jcam = Jc[:, :, 6:] * opt_c_o[:, None, :]
 
     # Per-point layout [NP, T, ...]: reshape when canonical, gather otherwise
     # (trash slot -> zero row).
@@ -529,22 +551,23 @@ def _build_reduced_system(state, data, lam, ptype, loss, loss_threshold,
 
     r_pt = padded(r)  # [NP,T,2]
     Ji_pt = padded(Ji)  # [NP,T,2,6]
-    Jr_pt = padded(Jr)
+    Jr_pt = padded(Jr) if rig_jac else None
     Jc_pt = padded(Jcam)  # [NP,T,2,pmax]
     Jp_pt = padded(Jp)  # [NP,T,2,3]
-    inst_pt = padded(data["obs_inst"])
-    rig_pt = padded(data["obs_rigcam"])
-    cam_pt = padded(data["obs_cam"])
 
     # Flat one-hots feed the direct (non-Schur) terms as [O, n] matmuls;
     # their point-layout views (reshape/gather) feed the Schur factors.
     # Every valid obs appears exactly once in the point layout, so flat sums
     # equal [NP,T] sums; gathered trash slots become all-zero selector rows.
-    Ei_f = jax.nn.one_hot(data["obs_inst"], ni, dtype=dtype)  # [O,NI]
-    Er_f = jax.nn.one_hot(data["obs_rigcam"], nr, dtype=dtype)
-    Ec_f = jax.nn.one_hot(data["obs_cam"], nc, dtype=dtype)
+    # 0/1 selectors are exact in bfloat16 — halves the [O, NI] HBM traffic
+    # (134 MB at the bench size, read by several contractions); XLA fuses
+    # the upconvert into each consuming matmul.
+    e_dtype = jnp.bfloat16 if dtype == jnp.float32 else dtype
+    Ei_f = jax.nn.one_hot(data["obs_inst"], ni, dtype=e_dtype)  # [O,NI]
+    Er_f = jax.nn.one_hot(data["obs_rigcam"], nr, dtype=e_dtype)
+    Ec_f = jax.nn.one_hot(data["obs_cam"], nc, dtype=e_dtype)
     E_i = padded(Ei_f)  # [NP,T,NI]
-    E_r = padded(Er_f)
+    E_r = padded(Er_f) if rig_jac else None
     E_c = padded(Ec_f)
 
     # --- point system (pure reshaped reductions) ---------------------------
@@ -566,12 +589,25 @@ def _build_reduced_system(state, data, lam, ptype, loss, loss_threshold,
     Hpp_inv = _inv3x3(Hpp) * opt_p_pts
 
     # --- camera-point couplings and Schur factors --------------------------
-    blocks = [("i", Ji_pt, E_i, ni, 6), ("c", Jc_pt, E_c, nc, pmax),
-              ("r", Jr_pt, E_r, nr, 6)]
+    blocks = [("i", Ji_pt, E_i, ni, 6), ("c", Jc_pt, E_c, nc, pmax)]
+    if rig_jac:
+        blocks.append(("r", Jr_pt, E_r, nr, 6))
     G = {}
     U = {}
     V = {}
     for name, J_pt, E, n_blk, bdim in blocks:
+        if n_blk == 1:
+            # Single block (typical for cameras/rig cameras): the selector is
+            # identically 1, so the T axis collapses into the contraction —
+            # one batched [bdim, T*K] @ [T*K, 3] matmul per point, skipping
+            # the [NP, T, bdim, 3] Ga/Aa intermediates (~470 MB of HBM
+            # traffic for the camera family at the bench size).
+            Vg = jnp.einsum("ptkx,ptkj->pxj", J_pt, Jp_pt)  # [NP,bdim,3]
+            Ug = jnp.einsum("pxk,pkj->pxj", Vg, Hpp_inv)
+            G[name] = None
+            U[name] = Ug[:, None]  # [NP,1,bdim,3]
+            V[name] = Vg[:, None]
+            continue
         Ga = jnp.sum(
             J_pt[..., :, :, None] * Jp_pt[..., :, None, :], axis=2
         )  # [NP,T,bdim,3]
@@ -585,14 +621,21 @@ def _build_reduced_system(state, data, lam, ptype, loss, loss_threshold,
 
     # --- block families of S and b (flat MXU matmuls) -----------------------
     flat = {"i": (Ei_f, Ji.reshape(num_obs, -1, 6)),
-            "r": (Er_f, Jr.reshape(num_obs, -1, 6)),
             "c": (Ec_f, Jcam.reshape(num_obs, -1, pmax))}
+    if rig_jac:
+        flat["r"] = (Er_f, Jr.reshape(num_obs, -1, 6))
 
     def direct_diag(name):
         # Same-obs block-diagonal contributions (one block per obs).
         E, Jf = flat[name]
+        x = Jf.shape[2]
+        if E.shape[1] == 1:
+            # Single block: sum_o J_o' J_o is ONE MXU matmul over the K-major
+            # flattening — avoids the [O, x, x] outer-product intermediate
+            # (472 MB of HBM traffic for the camera family at O=524k).
+            J2 = Jf.reshape(-1, x)
+            return (J2.T @ J2)[None]
         M = jnp.sum(Jf[:, :, :, None] * Jf[:, :, None, :], axis=1)
-        x = M.shape[1]
         return (E.T @ M.reshape(num_obs, x * x)).reshape(-1, x, x)
 
     def direct_cross(a, b_):
@@ -600,11 +643,20 @@ def _build_reduced_system(state, data, lam, ptype, loss, loss_threshold,
         intermediate stays bounded)."""
         E_a, J_a = flat[a]
         E_b, J_b = flat[b_]
+        xa, yb = J_a.shape[2], J_b.shape[2]
+        nb = E_b.shape[1]
+        if E_a.shape[1] == 1 and nb == 1:
+            # Both single-block: one matmul, no per-obs intermediates.
+            A2 = J_a.reshape(-1, xa)
+            B2 = J_b.reshape(-1, yb)
+            return (A2.T @ B2)[None, :, None, :]
         M = jnp.sum(
             J_a[:, :, :, None] * J_b[:, :, None, :], axis=1
         )  # [O, xa, yb]
-        xa, yb = M.shape[1], M.shape[2]
-        nb = E_b.shape[1]
+        if nb == 1:
+            # Skip the [O, nb, xa, yb] broadcast: E_b is identically 1.
+            out = E_a.T @ M.reshape(num_obs, xa * yb)
+            return out.reshape(-1, xa, yb)[:, :, None, :]
         T1 = M[:, None, :, :] * E_b[:, :, None, None]  # [O, nb, xa, yb]
         out = E_a.T @ T1.reshape(num_obs, nb * xa * yb)
         return out.reshape(-1, nb, xa, yb).transpose(0, 2, 1, 3)
@@ -618,11 +670,18 @@ def _build_reduced_system(state, data, lam, ptype, loss, loss_threshold,
         return jnp.einsum("axy,ab->axby", D, eye_n)
 
     S_II = expand_diag(direct_diag("i"), ni, 6) - schur("i", "i")
-    S_RR = expand_diag(direct_diag("r"), nr, 6) - schur("r", "r")
     S_CC = expand_diag(direct_diag("c"), nc, pmax) - schur("c", "c")
-    S_IR = direct_cross("i", "r") - schur("i", "r")
     S_IC = direct_cross("i", "c") - schur("i", "c")
-    S_RC = direct_cross("r", "c") - schur("r", "c")
+    if rig_jac:
+        S_RR = expand_diag(direct_diag("r"), nr, 6) - schur("r", "r")
+        S_IR = direct_cross("i", "r") - schur("i", "r")
+        S_RC = direct_cross("r", "c") - schur("r", "c")
+    else:
+        # Rig cameras all fixed: their rows come only from the identity
+        # padding below; every coupling block is zero.
+        S_RR = jnp.zeros((nr, 6, nr, 6), dtype=dtype)
+        S_IR = jnp.zeros((ni, 6, nr, 6), dtype=dtype)
+        S_RC = jnp.zeros((nr, 6, nc, pmax), dtype=dtype)
 
     Hib = jnp.sum(Hpp_inv * bp[:, None, :], axis=-1)  # [NP,3]
 
@@ -630,12 +689,18 @@ def _build_reduced_system(state, data, lam, ptype, loss, loss_threshold,
         E_f, J_f = flat[name]
         JTr = jnp.sum(J_f * r[:, :, None], axis=1)  # [O, bdim]
         direct = E_f.T @ JTr  # [n, bdim]
-        GH = jnp.sum(G[name] * Hib[:, None, None, :], axis=-1)  # [NP,T,bdim]
-        gschur = jnp.einsum("pta,ptx->ax", E_pt, GH)
+        if n_blk == 1:
+            gschur = jnp.einsum("pxk,pk->x", V[name][:, 0], Hib)[None]
+        else:
+            GH = jnp.sum(
+                G[name] * Hib[:, None, None, :], axis=-1
+            )  # [NP,T,bdim]
+            gschur = jnp.einsum("pta,ptx->ax", E_pt, GH)
         return (direct - gschur).reshape(n_blk * bdim)
 
     b_i = rhs("i", E_i, Ji_pt, ni, 6)
-    b_r = rhs("r", E_r, Jr_pt, nr, 6)
+    b_r = (rhs("r", E_r, Jr_pt, nr, 6) if rig_jac
+           else jnp.zeros(nr * 6, dtype=dtype))
     b_c = rhs("c", E_c, Jc_pt, nc, pmax)
 
     # --- priors (small dense additions on the diagonal block families) -----
@@ -648,6 +713,8 @@ def _build_reduced_system(state, data, lam, ptype, loss, loss_threshold,
                 jnp.einsum("nki,nk->ni", pJ, pr) * mask[:, :, 0]
             ).reshape(ni * 6)
         elif kind == "rigcam":
+            if not rig_jac:
+                continue  # all rig cameras fixed: prior rows are masked out
             mask = data["opt_rigcam"].astype(dtype)[:, None, None]
             D = jnp.einsum("nki,nkj->nij", pJ, pJ) * mask
             S_RR = S_RR + expand_diag(D, nr, 6)
@@ -664,22 +731,25 @@ def _build_reduced_system(state, data, lam, ptype, loss, loss_threshold,
     # --- shot priors (up-vector / pan / tilt / roll): couple inst+rigcam ----
     for pr, Ji_u, Jr_u, idx_i, idx_r in _shot_prior_residuals(state, data):
         mi = data["opt_inst"][idx_i].astype(dtype)[:, None, None]
-        mr = data["opt_rigcam"][idx_r].astype(dtype)[:, None, None]
         Ji_u = Ji_u * mi
-        Jr_u = Jr_u * mr
         Ei_u = jax.nn.one_hot(idx_i, ni, dtype=dtype)  # [K, NI]
-        Er_u = jax.nn.one_hot(idx_r, nr, dtype=dtype)
         S_II = S_II + expand_diag(
             jnp.einsum("ka,kxi,kxj->aij", Ei_u, Ji_u, Ji_u), ni, 6
         )
-        S_RR = S_RR + expand_diag(
-            jnp.einsum("ka,kxi,kxj->aij", Er_u, Jr_u, Jr_u), nr, 6
-        )
-        S_IR = S_IR + jnp.einsum(
-            "ka,kxi,kxj,kb->aibj", Ei_u, Ji_u, Jr_u, Er_u
-        )
         b_i = b_i + jnp.einsum("ka,kxi,kx->ai", Ei_u, Ji_u, pr).reshape(ni * 6)
-        b_r = b_r + jnp.einsum("ka,kxi,kx->ai", Er_u, Jr_u, pr).reshape(nr * 6)
+        if rig_jac:
+            mr = data["opt_rigcam"][idx_r].astype(dtype)[:, None, None]
+            Jr_u = Jr_u * mr
+            Er_u = jax.nn.one_hot(idx_r, nr, dtype=dtype)
+            S_RR = S_RR + expand_diag(
+                jnp.einsum("ka,kxi,kxj->aij", Er_u, Jr_u, Jr_u), nr, 6
+            )
+            S_IR = S_IR + jnp.einsum(
+                "ka,kxi,kxj,kb->aibj", Ei_u, Ji_u, Jr_u, Er_u
+            )
+            b_r = b_r + jnp.einsum(
+                "ka,kxi,kx->ai", Er_u, Jr_u, pr
+            ).reshape(nr * 6)
 
     # --- assemble the dense reduced system ---------------------------------
     di, dr, dcam = ni * 6, nr * 6, nc * pmax
@@ -718,8 +788,10 @@ def _build_reduced_system(state, data, lam, ptype, loss, loss_threshold,
     S = S + jnp.diag(lam * diag_S + 1e-12)
     S = 0.5 * (S + S.T)
     back = dict(
-        G=G, Hpp_inv=Hpp_inv, bp=bp,
-        inst_pt=inst_pt, rig_pt=rig_pt, cam_pt=cam_pt,
+        Ji=Ji, Jr=Jr if rig_jac else None, Jcam=Jcam, Jp_pt=Jp_pt,
+        Hpp_inv=Hpp_inv, bp=bp,
+        obs_inst=data["obs_inst"], obs_rigcam=data["obs_rigcam"],
+        obs_cam=data["obs_cam"], padded=padded,
     )
     return S, b, back
 
@@ -728,16 +800,17 @@ def _build_reduced_system(state, data, lam, ptype, loss, loss_threshold,
     jax.jit,
     static_argnames=(
         "ptype", "loss", "loss_threshold", "pmax", "ni", "nr", "nc",
-        "with_depth", "canonical",
+        "with_depth", "canonical", "rig_transform", "rig_jac",
     ),
 )
 def _lm_step(state, data, lam, ptype, loss, loss_threshold, pmax, ni, nr, nc,
-             with_depth=False, canonical=False):
+             with_depth=False, canonical=False, rig_transform=True,
+             rig_jac=True):
     """One damped LM step: assemble, Schur-eliminate points, solve, update."""
     inst, rigcam, cam, points = state
     S, b, back = _build_reduced_system(
         state, data, lam, ptype, loss, loss_threshold, pmax, ni, nr, nc,
-        with_depth, canonical,
+        with_depth, canonical, rig_transform, rig_jac,
     )
     # S is SPD after damping + identity rows: Cholesky beats the LU lowering.
     L = jax.lax.linalg.cholesky(S)
@@ -753,12 +826,21 @@ def _lm_step(state, data, lam, ptype, loss, loss_threshold, pmax, ni, nr, nc,
     dx_i = dx_c[:di].reshape(ni, 6)
     dx_r = dx_c[di : di + dr].reshape(nr, 6)
     dx_cam = dx_c[di + dr :].reshape(nc, pmax)
-    G, Hpp_inv, bp = back["G"], back["Hpp_inv"], back["bp"]
-    u = (
-        jnp.einsum("ptxk,ptx->pk", G["i"], dx_i[back["inst_pt"]])
-        + jnp.einsum("ptxk,ptx->pk", G["r"], dx_r[back["rig_pt"]])
-        + jnp.einsum("ptxk,ptx->pk", G["c"], dx_cam[back["cam_pt"]])
-    )
+    Hpp_inv, bp = back["Hpp_inv"], back["bp"]
+    # Per-observation back-substitution: u_p = sum_{o in p} Jp_o' (J_o dx_o)
+    # — one elementwise pass over the already-materialized Jacobians instead
+    # of the [NP, T, bdim, 3] G tensors (which would otherwise be kept alive
+    # or rematerialized across the Cholesky solve).
+    tmp = (
+        jnp.sum(back["Ji"] * dx_i[back["obs_inst"]][:, None, :], axis=-1)
+        + jnp.sum(back["Jcam"] * dx_cam[back["obs_cam"]][:, None, :], axis=-1)
+    )  # [O, K]
+    if back["Jr"] is not None:
+        tmp = tmp + jnp.sum(
+            back["Jr"] * dx_r[back["obs_rigcam"]][:, None, :], axis=-1
+        )
+    tmp_pt = back["padded"](tmp)  # [NP, T, K]
+    u = jnp.sum(back["Jp_pt"] * tmp_pt[..., None], axis=(1, 2))  # [NP, 3]
     dx_p = jnp.sum(Hpp_inv * (bp - u)[:, None, :], axis=-1)
 
     new_state = (
@@ -774,11 +856,12 @@ def _lm_step(state, data, lam, ptype, loss, loss_threshold, pmax, ni, nr, nc,
     jax.jit,
     static_argnames=(
         "ptype", "loss", "loss_threshold", "pmax", "ni", "nr", "nc",
-        "with_depth", "canonical",
+        "with_depth", "canonical", "rig_transform", "rig_jac",
     ),
 )
 def _instance_covariances(state, data, ptype, loss, loss_threshold, pmax,
-                          ni, nr, nc, with_depth=False, canonical=False):
+                          ni, nr, nc, with_depth=False, canonical=False,
+                          rig_transform=True, rig_jac=True):
     """Marginal 6x6 covariances of the rig-instance poses.
 
     Mirrors ComputeCovariances (bundle_adjuster.cc:1123-1194): the points are
@@ -788,8 +871,9 @@ def _instance_covariances(state, data, ptype, loss, loss_threshold, pmax,
     S, _, _ = _build_reduced_system(
         state, data, jnp.zeros((), dtype=state[3].dtype), ptype, loss,
         loss_threshold, pmax, ni, nr, nc, with_depth, canonical,
+        rig_transform, rig_jac,
     )
-    Sinv = jnp.linalg.inv(S)
+    Sinv = tpu_linalg.inv_spd(S)
     blocks = Sinv[: ni * 6, : ni * 6].reshape(ni, 6, ni, 6)
     cov = jnp.einsum("aiaj->aij", blocks)
     valid = jnp.all(jnp.isfinite(Sinv)) & jnp.all(
@@ -800,10 +884,11 @@ def _instance_covariances(state, data, ptype, loss, loss_threshold, pmax,
 
 @partial(
     jax.jit,
-    static_argnames=("ptype", "loss", "loss_threshold", "pmax", "with_depth"),
+    static_argnames=("ptype", "loss", "loss_threshold", "pmax", "with_depth",
+                     "rig_transform", "rig_jac"),
 )
 def _total_cost(state, data, ptype, loss, loss_threshold, pmax,
-                with_depth=False):
+                with_depth=False, rig_transform=True, rig_jac=True):
     """Objective only — no Jacobians (cheap accept/reject evaluation)."""
     inst, rigcam, cam, points = state
     d = data
@@ -816,8 +901,11 @@ def _total_cost(state, data, ptype, loss, loss_threshold, pmax,
         sl = slice(start, end)
         Xi = rot.rotate(inst[d["obs_inst"][sl]][:, 0:3], points[d["obs_point"][sl]]) \
             + inst[d["obs_inst"][sl]][:, 3:6]
-        rc = rigcam[d["obs_rigcam"][sl]]
-        Xc = rot.rotate(rc[:, 0:3], Xi) + rc[:, 3:6]
+        if rig_transform:
+            rc = rigcam[d["obs_rigcam"][sl]]
+            Xc = rot.rotate(rc[:, 0:3], Xi) + rc[:, 3:6]
+        else:
+            Xc = Xi
         pred = cam_lib.project(pt, Xc, cam[d["obs_cam"][sl]][:, :pmax], xp=jnp)
         diff = pred - d["obs_uv"][sl]
         if pt == "spherical":
@@ -918,10 +1006,17 @@ def bundle_adjust(
         "obs_depth_inv_sd": jnp.asarray(obs_depth_inv_sd, dtype=dtype),
         "obs_depth_radial": jnp.asarray(obs_depth_radial, dtype=bool),
     }
+    # Skip the rig chain when it cannot matter: no rig camera optimized
+    # drops its 6 Jacobian columns (rig_jac); all-identity rig cameras drop
+    # the second rotation entirely (rig_transform) — the common mono case.
+    rig_jac = bool(np.asarray(problem.opt_rigcam).any())
+    rig_transform = rig_jac or bool(
+        np.abs(np.asarray(problem.rigcam)).max() > 1e-12
+    )
     statics = dict(
         ptype=problem.ptype, loss=problem.loss,
         loss_threshold=float(problem.loss_threshold), pmax=pmax,
-        with_depth=with_depth,
+        with_depth=with_depth, rig_transform=rig_transform, rig_jac=rig_jac,
     )
     step_statics = dict(statics, canonical=canonical)
 

@@ -20,6 +20,8 @@ import jax.numpy as jnp
 from opensfm_tpu.geometry import rotation as rot
 from opensfm_tpu.geometry.polynomial import real_roots
 
+from opensfm_tpu.ops import linalg as tpu_linalg
+
 
 def _normalize(v):
     return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-15)
@@ -27,7 +29,7 @@ def _normalize(v):
 
 def _closest_rotation(M):
     U, _, Vt = jnp.linalg.svd(M)
-    d = jnp.linalg.det(U @ Vt)
+    d = tpu_linalg.det3(U @ Vt)
     D = jnp.stack([jnp.ones_like(d), jnp.ones_like(d), d], axis=-1)
     return (U * D[..., None, :]) @ Vt
 
@@ -150,7 +152,7 @@ def translation_between_points(
     eye = jnp.eye(3, dtype=bearings.dtype)
     RP = points @ R_cw.T
     F2 = jnp.einsum("nij,nj->i", F - w[:, None, None] * eye, RP) / n
-    return jnp.linalg.solve(eye - F1, F2)
+    return tpu_linalg.solve3(eye - F1, F2)
 
 
 def absolute_pose_known_rotation_n_points(
@@ -167,7 +169,7 @@ def absolute_pose_known_rotation_n_points(
     rhs = -jnp.einsum("nij,nj->ni", Bx, RP).reshape(-1)
     AtA = A.T @ A
     Atb = A.T @ rhs
-    return jnp.linalg.solve(AtA + 1e-12 * jnp.eye(3, dtype=A.dtype), Atb)
+    return tpu_linalg.solve3(AtA + 1e-12 * jnp.eye(3, dtype=A.dtype), Atb)
 
 
 def absolute_pose_gn_refine(
@@ -194,7 +196,7 @@ def absolute_pose_gn_refine(
         r = residuals(params)
         J = jax.jacfwd(residuals)(params)
         JtJ = J.T @ J
-        step = jnp.linalg.solve(
+        step = tpu_linalg.solve_spd(
             JtJ + 1e-9 * jnp.eye(6, dtype=params.dtype), J.T @ r
         )
         return params - step

@@ -19,6 +19,8 @@ import jax.numpy as jnp
 from opensfm_tpu.geometry import rotation as rot
 from opensfm_tpu.geometry.triangulation import triangulate_two_bearings_midpoint
 
+from opensfm_tpu.ops import linalg as tpu_linalg
+
 
 def essential_n_points(x: jnp.ndarray, y: jnp.ndarray, mask=None) -> jnp.ndarray:
     """Least-squares essential matrix from N>=8 bearing pairs.
@@ -47,8 +49,8 @@ def decompose_essential(E: jnp.ndarray):
     """
     U, _, Vt = jnp.linalg.svd(E)
     # Enforce proper rotations.
-    detU = jnp.linalg.det(U)
-    detVt = jnp.linalg.det(Vt)
+    detU = tpu_linalg.det3(U)
+    detVt = tpu_linalg.det3(Vt)
     U = U * detU[..., None, None]
     Vt = Vt * detVt[..., None, None]
     W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], dtype=E.dtype)
@@ -142,7 +144,9 @@ def refine_relative_pose(
         J = jax.jacfwd(residuals)(params)  # [N, 6]
         JtJ = J.T @ J
         Jtr = J.T @ r
-        step = jnp.linalg.solve(JtJ + 1e-9 * jnp.eye(6, dtype=params.dtype), Jtr)
+        step = tpu_linalg.solve_spd(
+            JtJ + 1e-9 * jnp.eye(6, dtype=params.dtype), Jtr
+        )
         new = params - step
         tn = new[3:6] / jnp.maximum(jnp.linalg.norm(new[3:6]), 1e-15)
         return jnp.concatenate([new[:3], tn])

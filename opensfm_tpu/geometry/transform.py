@@ -9,10 +9,12 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from opensfm_tpu.ops import linalg as tpu_linalg
+
 
 def _proper_rotation_from_svd(U, Vt):
     """Closest rotation U @ diag(1,1,det) @ Vt with det = +1."""
-    d = jnp.linalg.det(U @ Vt)
+    d = tpu_linalg.det3(U @ Vt)
     D = jnp.stack(
         [jnp.ones_like(d), jnp.ones_like(d), d], axis=-1
     )
@@ -56,7 +58,7 @@ def similarity_between_points(x: jnp.ndarray, y: jnp.ndarray, mask=None):
     var_x = jnp.sum(xc * xc, axis=(-1, -2)) / jnp.squeeze(n, (-1, -2))
     H = (jnp.swapaxes(xc, -1, -2) @ yc) / n
     U, S, Vt = jnp.linalg.svd(H)
-    d = jnp.linalg.det(jnp.swapaxes(Vt, -1, -2) @ jnp.swapaxes(U, -1, -2))
+    d = tpu_linalg.det3(jnp.swapaxes(Vt, -1, -2) @ jnp.swapaxes(U, -1, -2))
     D = jnp.stack([jnp.ones_like(d), jnp.ones_like(d), d], axis=-1)
     R = (jnp.swapaxes(Vt, -1, -2) * D[..., None, :]) @ jnp.swapaxes(U, -1, -2)
     scale = jnp.sum(S * D, axis=-1) / jnp.maximum(var_x, 1e-18)

@@ -12,6 +12,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from opensfm_tpu.ops import linalg as tpu_linalg
+
 
 def angle_between_vectors(u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Unsigned angle, 0 when |cos| >= 1 (triangulation.cc:67-74)."""
@@ -52,7 +54,7 @@ def triangulate_bearings_midpoint(
     P = maskf[..., None] * eye - BBt  # [K,3,3]
     A = jnp.sum(P, axis=0)
     rhs = jnp.einsum("kij,kj->i", P, centers)
-    X = jnp.linalg.solve(A + 1e-12 * eye, rhs)
+    X = tpu_linalg.solve3(A + 1e-12 * eye, rhs)
 
     angle_ok = _pairwise_angle_ok(bearings, mask, min_angle)
     rays = X[None, :] - centers
@@ -149,7 +151,7 @@ def point_refinement(
         J = J * maskf[:, None, None]
         JtJ = jnp.einsum("kij,kil->jl", J, J)
         Jtr = jnp.einsum("kij,ki->j", J, r)
-        step = jnp.linalg.solve(JtJ + 1e-9 * eye, Jtr)
+        step = tpu_linalg.solve3(JtJ + 1e-9 * eye, Jtr)
         return X - step
 
     return jax.lax.fori_loop(0, iterations, body, point)

@@ -23,12 +23,16 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE_N = 512
 TILE_M = 1024
 _INF = float("inf")
+# Typed zero for index maps: a bare Python 0 lowers to an i64 constant
+# under x64, which Mosaic rejects in the block index transform.
+_Z = np.int32(0)
 
 
 def _tile_top2(dist):
@@ -37,8 +41,9 @@ def _tile_top2(dist):
     col = jax.lax.broadcasted_iota(jnp.int32, (tn, tm), 1)
     d1 = jnp.min(dist, axis=1, keepdims=True)  # [tn,1]
     is_best = dist == d1
-    # lowest column index achieving the min
-    i1 = jnp.min(jnp.where(is_best, col, tm), axis=1, keepdims=True)
+    # lowest column index achieving the min (tm as a typed constant: a bare
+    # Python int promotes to int64 under x64, which Mosaic cannot lower)
+    i1 = jnp.min(jnp.where(is_best, col, jnp.int32(tm)), axis=1, keepdims=True)
     masked = jnp.where(col == i1, _INF, dist)
     d2 = jnp.min(masked, axis=1, keepdims=True)
     return d1, i1, d2
@@ -66,9 +71,12 @@ def _top2_kernel(n2_ref, d1_ref, d2_ref, out_d_ref, out_i_ref,
     y = d2_ref[:]  # [TILE_M, D]
     sq1 = jnp.sum(x * x, axis=1, keepdims=True)  # [TILE_N,1]
     sq2 = jnp.sum(y * y, axis=1, keepdims=True).T  # [1,TILE_M]
+    # HIGHEST: default MXU precision is one bf16 pass (~0.4% error at
+    # D=128), enough to flip near-tie argmins vs the exact distance.
     dist = sq1 + sq2 - 2.0 * jax.lax.dot_general(
         x, y, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     col = (j * TILE_M
            + jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1))
@@ -103,9 +111,12 @@ def _top2_kernel_masked(n2_ref, d1_ref, d2_ref, mask_ref, out_d_ref,
     y = d2_ref[:]
     sq1 = jnp.sum(x * x, axis=1, keepdims=True)
     sq2 = jnp.sum(y * y, axis=1, keepdims=True).T
+    # HIGHEST: default MXU precision is one bf16 pass (~0.4% error at
+    # D=128), enough to flip near-tie argmins vs the exact distance.
     dist = sq1 + sq2 - 2.0 * jax.lax.dot_general(
         x, y, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     col = (j * TILE_M
            + jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1))
@@ -146,9 +157,9 @@ def top2_sqdist_pallas(d1, d2, n2, mask=None, interpret: bool = False):
     n2_arr = jnp.asarray([n2], dtype=jnp.int32)
 
     in_specs = [
-        pl.BlockSpec((TILE_N, D), lambda i, j, *_: (i, 0),
+        pl.BlockSpec((TILE_N, D), lambda i, j, *_: (i, _Z),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((TILE_M, D), lambda i, j, *_: (j, 0),
+        pl.BlockSpec((TILE_M, D), lambda i, j, *_: (j, _Z),
                      memory_space=pltpu.VMEM),
     ]
     args = [d1, d2]
@@ -166,9 +177,9 @@ def top2_sqdist_pallas(d1, d2, n2, mask=None, interpret: bool = False):
         grid=(n_ntiles, n_mtiles),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((TILE_N, 2), lambda i, j, *_: (i, 0),
+            pl.BlockSpec((TILE_N, 2), lambda i, j, *_: (i, _Z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, 1), lambda i, j, *_: (i, 0),
+            pl.BlockSpec((TILE_N, 1), lambda i, j, *_: (i, _Z),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[

@@ -28,6 +28,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from opensfm_tpu.ba.lm import BAProblem, LOSSES, _transform_rig
 from opensfm_tpu.geometry import cameras as cam_lib
 
+from opensfm_tpu.ops import linalg as tpu_linalg
+
 
 def shard_problem(problem: BAProblem, n_shards: int) -> BAProblem:
     """Re-layout a BAProblem so points (and their obs) shard contiguously.
@@ -199,7 +201,7 @@ def make_sharded_lm_step(
         Hpp = Hpp + lam * jax.vmap(jnp.diag)(
             jnp.diagonal(Hpp, axis1=1, axis2=2)
         ) + 1e-12 * eye3
-        Hpp_inv = jnp.linalg.inv(Hpp) * opt_points[:, None, None].astype(dtype)
+        Hpp_inv = tpu_linalg.inv3(Hpp) * opt_points[:, None, None].astype(dtype)
 
         # Dense local W and Schur reduction.
         G = jnp.einsum("oki,okj->oij", Jc, Jp)
@@ -243,7 +245,7 @@ def make_sharded_lm_step(
         S = 0.5 * (S + S.T)
         S = S.at[dc, :].set(0.0).at[:, dc].set(0.0).at[dc, dc].set(1.0)
         b = b.at[dc].set(0.0)
-        dx_c = jnp.linalg.solve(S, b)
+        dx_c = tpu_linalg.solve_spd(S, b)
 
         u = jnp.einsum("dpk,d->pk", W, dx_c)
         dx_p = jnp.einsum("pij,pj->pi", Hpp_inv, bp - u)
