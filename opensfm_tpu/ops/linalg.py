@@ -40,6 +40,21 @@ def solve_spd(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return x[..., 0] if vec else x
 
 
+def solve_qr(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve A x = b via QR (batched) — for symmetric systems that may be
+    slightly indefinite from f32 roundoff (e.g. Schur complements assembled
+    with large dynamic range), where Cholesky would produce NaNs.  QR is
+    supported on TPU in f32 and f64; ~2x the flops of Cholesky.
+    """
+    vec = b.ndim == A.ndim - 1
+    if vec:
+        b = b[..., None]
+    q, r_ = jnp.linalg.qr(A)
+    y = jnp.einsum("...ji,...jk->...ik", q, b)
+    x = jax.lax.linalg.triangular_solve(r_, y, left_side=True, lower=False)
+    return x[..., 0] if vec else x
+
+
 def inv_spd(A: jnp.ndarray) -> jnp.ndarray:
     """Inverse of a symmetric positive-definite matrix via Cholesky."""
     eye = jnp.broadcast_to(

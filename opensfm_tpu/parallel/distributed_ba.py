@@ -245,7 +245,9 @@ def make_sharded_lm_step(
         S = 0.5 * (S + S.T)
         S = S.at[dc, :].set(0.0).at[:, dc].set(0.0).at[dc, dc].set(1.0)
         b = b.at[dc].set(0.0)
-        dx_c = tpu_linalg.solve_spd(S, b)
+        # QR, not Cholesky: the f32 psum-assembled Schur complement can be
+        # indefinite at roundoff scale, which NaNs a Cholesky factor.
+        dx_c = tpu_linalg.solve_qr(S, b)
 
         u = jnp.einsum("dpk,d->pk", W, dx_c)
         dx_p = jnp.einsum("pij,pj->pi", Hpp_inv, bp - u)
