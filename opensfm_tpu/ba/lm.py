@@ -191,6 +191,29 @@ def _residual_data(state, data, ptype, loss, loss_threshold, pmax,
     d = data
     roff = 12 if rig_transform else 6  # camera-params offset inside combo
 
+    # TPU fast path: the dominant configuration (mono perspective, f32, no
+    # depth priors) has a fused Pallas kernel that computes residual + all
+    # Jacobian columns + robust cost in one VMEM pass (~6x less HBM traffic
+    # than XLA's schedule of the 12 JVP pushes below).
+    if (
+        ptype == "perspective"
+        and not rig_transform
+        and not rig_jac
+        and not with_depth
+        and pmax == 3
+        and points.dtype == jnp.float32
+        and jax.default_backend() == "tpu"
+    ):
+        from opensfm_tpu.ops.pallas_kernels.ba_resjac import (
+            fused_residual_jacobian,
+        )
+
+        return fused_residual_jacobian(
+            inst, cam, points, d["obs_inst"], d["obs_cam"], d["obs_point"],
+            d["obs_uv"], d["obs_inv_sd"], loss=loss,
+            loss_threshold=loss_threshold,
+        )
+
     def make_batched(pt):
         def res_fn(combo, X, uv, inv_sd, dep):
             # combo: [O, roff+pmax]; X: [O, 3] — fully vectorized over obs.

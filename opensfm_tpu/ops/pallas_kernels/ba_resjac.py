@@ -1,0 +1,145 @@
+"""Fused BA residual + Jacobian Pallas kernel (mono perspective path).
+
+Replaces the unrolled-JVP pass in `opensfm_tpu.ba.lm._residual_data` for the
+dominant configuration (perspective camera, identity rig): one kernel
+computes, per observation, the whitened robust residual, all 12 Jacobian
+columns (6 pose + 3 intrinsics + 3 point) and the robust cost — entirely in
+VMEM/registers.  XLA's fusion of the same 13 JVP pushes materializes ~8x the
+necessary HBM traffic (measured 6.5 ms vs the ~1 ms bandwidth bound at
+O=524k on a v5e-lite); the kernel exists to force the single-pass schedule.
+
+Layout: feature-major [rows, O] so every per-observation quantity is a
+[1, TILE] lane vector on the VPU (an [O, 24] layout would waste 5/6 of each
+128-lane tile).  The host wrapper builds the packed input with one XLA
+transpose pass and splits the packed output likewise.
+
+Math mirrors geometry/rotation.py:114-131 (Rodrigues rotate) and
+geometry/cameras.py perspective projection + 2-term radial distortion,
+whitened and IRLS-weighted exactly like lm._residual_data (reference
+semantics: ReprojectionError2D, bundle/error/projection_errors.h:31-58 and
+ceres SoftLOne/Cauchy weights).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+N_IN = 16  # input rows (15 used, padded to a multiple of 8)
+N_OUT = 32  # output rows (27 used)
+TILE = 4096
+
+_EPS2 = 1e-14
+
+
+def _chain(vals):
+    """pred = perspective(distort(R(w) x + t)) — componentwise over lanes."""
+    w0, w1, w2, t0, t1, t2, k1, k2, f, x0, x1, x2 = vals
+    th2 = w0 * w0 + w1 * w1 + w2 * w2
+    small = th2 < _EPS2
+    safe2 = jnp.where(small, jnp.ones_like(th2), th2)
+    th = jnp.sqrt(safe2)
+    cos_t = jnp.where(small, 1.0 - th2 / 2.0, jnp.cos(th))
+    sinc = jnp.where(small, 1.0 - th2 / 6.0, jnp.sin(th) / th)
+    ccos = jnp.where(small, 0.5 - th2 / 24.0, (1.0 - cos_t) / safe2)
+    cxx = w1 * x2 - w2 * x1
+    cyy = w2 * x0 - w0 * x2
+    czz = w0 * x1 - w1 * x0
+    rdx = w0 * x0 + w1 * x1 + w2 * x2
+    X0 = x0 * cos_t + cxx * sinc + w0 * rdx * ccos + t0
+    X1 = x1 * cos_t + cyy * sinc + w1 * rdx * ccos + t1
+    X2 = x2 * cos_t + czz * sinc + w2 * rdx * ccos + t2
+    u = X0 / X2
+    v = X1 / X2
+    r2 = u * u + v * v
+    d = 1.0 + r2 * (k1 + k2 * r2)
+    return f * d * u, f * d * v
+
+
+def _make_kernel(loss: str, loss_threshold: float):
+    from opensfm_tpu.ba.lm import LOSSES
+
+    rho, drho = LOSSES[loss]
+    a2 = loss_threshold * loss_threshold
+
+    def kernel(inp_ref, out_ref):
+        vals = tuple(inp_ref[i : i + 1, :] for i in range(12))
+        obs_u = inp_ref[12:13, :]
+        obs_v = inp_ref[13:14, :]
+        isd = inp_ref[14:15, :]
+
+        # Primal once + a reusable linearization for the 12 tangent pushes.
+        (p0, p1), lin = jax.linearize(_chain, vals)
+        e0 = (p0 - obs_u) * isd
+        e1 = (p1 - obs_v) * isd
+
+        s = e0 * e0 + e1 * e1
+        cost = 0.5 * a2 * rho(s / a2)
+        w = drho(s / a2)
+        sw = jnp.sqrt(jnp.maximum(w, 1e-12))
+
+        out_ref[0:1, :] = e0 * sw
+        out_ref[1:2, :] = e1 * sw
+        zero = jnp.zeros_like(vals[0])
+        one = jnp.ones_like(vals[0])
+        scale = isd * sw
+        for j in range(12):
+            tang = tuple(one if i == j else zero for i in range(12))
+            d0, d1 = lin(tang)
+            out_ref[2 + j : 3 + j, :] = d0 * scale
+            out_ref[14 + j : 15 + j, :] = d1 * scale
+        out_ref[26:27, :] = cost
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("loss", "loss_threshold", "interpret"))
+def fused_residual_jacobian(
+    inst, cam, points, obs_inst, obs_cam, obs_point, obs_uv, obs_inv_sd,
+    loss: str, loss_threshold: float, interpret: bool = False,
+):
+    """Returns (r[O,2], Jc[O,2,9], Jp[O,2,3], cost[O]) — whitened residuals,
+    sqrt-IRLS-weighted Jacobians (columns: 6 instance pose, 3 camera
+    [k1,k2,focal]) and per-obs robust cost, matching lm._residual_data with
+    rig_transform=False for ptype='perspective'."""
+    O = obs_uv.shape[0]
+    dtype = obs_uv.dtype
+    O_pad = ((O + TILE - 1) // TILE) * TILE
+
+    gi = inst[obs_inst]  # [O, 6]
+    gc = cam[obs_cam][:, :3]  # [O, 3] (k1, k2, focal)
+    gx = points[obs_point]  # [O, 3]
+    packed = jnp.concatenate(
+        [gi, gc, gx, obs_uv, obs_inv_sd[:, None]], axis=1
+    )  # [O, 15]
+    packed = jnp.pad(packed, ((0, O_pad - O), (0, N_IN - packed.shape[1])))
+    inp = packed.T  # [N_IN, O_pad] — one XLA transpose pass
+
+    out = pl.pallas_call(
+        _make_kernel(loss, float(loss_threshold)),
+        out_shape=jax.ShapeDtypeStruct((N_OUT, O_pad), dtype),
+        grid=(O_pad // TILE,),
+        in_specs=[
+            pl.BlockSpec((N_IN, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((N_OUT, TILE), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(inp)
+
+    outT = out.T[:O]  # [O, N_OUT]
+    r = outT[:, 0:2]
+    # Row layout: cols 2-13 are K=0 derivs (12 dirs), 14-25 are K=1.
+    Jrow0 = outT[:, 2:14]  # [O, 12]
+    Jrow1 = outT[:, 14:26]
+    J = jnp.stack([Jrow0, Jrow1], axis=1)  # [O, 2, 12]
+    Jc = J[:, :, :9]
+    Jp = J[:, :, 9:12]
+    cost = outT[:, 26]
+    return r, Jc, Jp, cost

@@ -80,3 +80,66 @@ def test_matcher_dispatch_same_result_small() -> None:
     got = {(i, j) for i, j in matches}
     expected = {(20 + k, 10 + k) for k in range(40)}
     assert expected <= got
+
+
+def _mono_perspective_problem(O=600, ni=5, nc=2, npts=200, seed=0):
+    """Random mono (identity-rig) perspective BA quantities in f32."""
+    rng = np.random.default_rng(seed)
+    inst = np.concatenate(
+        [0.2 * rng.normal(size=(ni, 3)), rng.normal(size=(ni, 3)) + [0, 0, 8]],
+        axis=1,
+    ).astype(np.float32)
+    cam = np.concatenate(
+        [0.05 * rng.normal(size=(nc, 2)), 0.9 + 0.2 * rng.random((nc, 1))],
+        axis=1,
+    ).astype(np.float32)
+    points = rng.normal(size=(npts, 3)).astype(np.float32) * 2.0
+    obs_inst = rng.integers(0, ni, size=O).astype(np.int32)
+    obs_cam = rng.integers(0, nc, size=O).astype(np.int32)
+    obs_point = rng.integers(0, npts, size=O).astype(np.int32)
+    obs_uv = (0.3 * rng.normal(size=(O, 2))).astype(np.float32)
+    obs_inv_sd = (1.0 + rng.random(O)).astype(np.float32)
+    return inst, cam, points, obs_inst, obs_cam, obs_point, obs_uv, obs_inv_sd
+
+
+@pytest.mark.parametrize("loss", ["SoftLOneLoss", "CauchyLoss", "TrivialLoss"])
+def test_ba_resjac_kernel_matches_lm(loss) -> None:
+    """Fused Pallas residual+Jacobian kernel == lm._residual_data for the
+    mono perspective configuration (rig_transform=False)."""
+    from opensfm_tpu.ba import lm
+    from opensfm_tpu.ops.pallas_kernels.ba_resjac import (
+        fused_residual_jacobian,
+    )
+
+    (inst, cam, points, obs_inst, obs_cam, obs_point, obs_uv,
+     obs_inv_sd) = _mono_perspective_problem()
+    O = obs_uv.shape[0]
+    state = (
+        jnp.asarray(inst), jnp.zeros((1, 6), jnp.float32),
+        jnp.asarray(cam), jnp.asarray(points),
+    )
+    data = dict(
+        obs_uv=jnp.asarray(obs_uv), obs_inv_sd=jnp.asarray(obs_inv_sd),
+        obs_point=jnp.asarray(obs_point), obs_inst=jnp.asarray(obs_inst),
+        obs_rigcam=jnp.zeros(O, jnp.int32), obs_cam=jnp.asarray(obs_cam),
+    )
+    r_ref, Jc_ref, Jp_ref, cost_ref = lm._residual_data(
+        state, data, "perspective", loss, 1.0, 3,
+        rig_transform=False, rig_jac=False,
+    )
+
+    r, Jc, Jp, cost = fused_residual_jacobian(
+        jnp.asarray(inst), jnp.asarray(cam), jnp.asarray(points),
+        jnp.asarray(obs_inst), jnp.asarray(obs_cam), jnp.asarray(obs_point),
+        jnp.asarray(obs_uv), jnp.asarray(obs_inv_sd),
+        loss=loss, loss_threshold=1.0, interpret=True,
+    )
+
+    np.testing.assert_allclose(np.asarray(r), np.asarray(r_ref),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(Jc), np.asarray(Jc_ref),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(Jp), np.asarray(Jp_ref),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(cost), np.asarray(cost_ref),
+                               rtol=2e-4, atol=2e-5)
