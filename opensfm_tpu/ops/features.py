@@ -36,60 +36,64 @@ def _gaussian_kernel(sigma: float, radius: int) -> np.ndarray:
     return (k / k.sum()).astype(np.float32)
 
 
+def _conv1d(x: jnp.ndarray, kernel: np.ndarray, axis: int) -> jnp.ndarray:
+    """Zero-padded same-size 1D correlation along `axis`, as a
+    shift-multiply-accumulate chain.
+
+    TPU-native: a single-channel conv_general_dilated lowers to an MXU
+    convolution with the channel dims padded to the systolic array (~100x
+    wasted work, measured ~30 ms per image-sized conv); the unrolled
+    shifted-slice sum fuses into one elementwise pass over the array.
+    """
+    k = np.asarray(kernel)
+    r = (len(k) - 1) // 2
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (r, r)
+    xp = jnp.pad(x, pads)
+    L = x.shape[axis]
+    out = None
+    for i, t in enumerate(k.tolist()):
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(i, i + L)
+        term = jnp.asarray(t, x.dtype) * xp[tuple(sl)]
+        out = term if out is None else out + term
+    return out
+
+
 def _sep_blur(img: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
-    """Separable Gaussian blur of [H, W] via two 1D convolutions."""
-    k = jnp.asarray(kernel, dtype=img.dtype)
-    pad = (len(kernel) - 1) // 2
-    x = img[None, None, :, :]
-    kx = k[None, None, None, :]
-    ky = k[None, None, :, None]
-    x = jax.lax.conv_general_dilated(x, kx, (1, 1), [(0, 0), (pad, pad)])
-    x = jax.lax.conv_general_dilated(x, ky, (1, 1), [(pad, pad), (0, 0)])
-    return x[0, 0]
+    """Separable Gaussian blur of [H, W] via two 1D passes."""
+    return _conv1d(_conv1d(img, kernel, 1), kernel, 0)
 
 
 def _sep_blur_batch(x: jnp.ndarray, ky: np.ndarray, kx: np.ndarray) -> jnp.ndarray:
-    """Separable filter of [C, H, W] with per-axis 1D kernels.
+    """Separable filter of [C, H, W] with per-axis 1D kernels (channels
+    independent — the shift-MAC form never mixes axis 0)."""
+    return _conv1d(_conv1d(x, kx, 2), ky, 1)
 
-    The channel axis is folded into rows rather than used as conv batch: a
-    batch-C single-channel NCHW conv makes XLA tile the (N, C) = (C, 1) pair
-    to (8, 128) — a 128x padding expansion that OOMs HBM at image sizes.
-    Folded, every tensor keeps the natural (rows, W) tiling.  The row-axis
-    conv pads each channel block by the kernel radius so no output mixes
-    rows across channels.
-    """
-    C, H, W = x.shape
-    kyj = jnp.asarray(ky, dtype=x.dtype)
-    kxj = jnp.asarray(kx, dtype=x.dtype)
-    ry = (len(ky) - 1) // 2
-    rx = (len(kx) - 1) // 2
-    # W axis: rows are independent, fold directly.
-    v = x.reshape(1, 1, C * H, W)
-    v = jax.lax.conv_general_dilated(
-        v, kxj[None, None, None, :], (1, 1), [(0, 0), (rx, rx)]
-    )
-    # H axis: pad each channel block by ry, fold, SAME conv, slice the
-    # interior back out (padded rows isolate the channel blocks).
-    v = v.reshape(C, H, W)
-    v = jnp.pad(v, ((0, 0), (ry, ry), (0, 0)))
-    v = v.reshape(1, 1, C * (H + 2 * ry), W)
-    v = jax.lax.conv_general_dilated(
-        v, kyj[None, None, :, None], (1, 1), [(ry, ry), (0, 0)]
-    )
-    return v.reshape(C, H + 2 * ry, W)[:, ry : ry + H, :]
+
+def _shift_reduce3(x: jnp.ndarray, op, fill: float) -> jnp.ndarray:
+    """3x3 window reduction via shifted slices (reduce_window lowers to a
+    slow scalar path on TPU for overlapping windows)."""
+    out = x
+    for axis in (0, 1):
+        pads = [(0, 0), (0, 0)]
+        pads[axis] = (1, 1)
+        xp = jnp.pad(out, pads, constant_values=fill)
+        L = x.shape[axis]
+        sl = lambda i: tuple(
+            slice(i, i + L) if a == axis else slice(None) for a in range(2)
+        )
+        out = op(op(xp[sl(0)], xp[sl(1)]), xp[sl(2)])
+    return out
 
 
 def _maxpool3(x: jnp.ndarray) -> jnp.ndarray:
     """3x3 max-pool (same size)."""
-    return jax.lax.reduce_window(
-        x, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
-    )
+    return _shift_reduce3(x, jnp.maximum, -np.inf)
 
 
 def _minpool3(x: jnp.ndarray) -> jnp.ndarray:
-    return -jax.lax.reduce_window(
-        -x, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
-    )
+    return _shift_reduce3(x, jnp.minimum, np.inf)
 
 
 @partial(
