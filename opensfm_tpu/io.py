@@ -625,3 +625,163 @@ def point_cloud_to_ply(
                 int(c[0]), int(c[1]), int(c[2]), int(l),
             )
         )
+
+
+def point_cloud_from_ply(fp: TextIO) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Read back a dense point cloud PLY written by `point_cloud_to_ply`
+    (reference: io.py:1184-1207).  Returns (points, normals, colors, labels).
+    Tolerates both `red/...` and `diffuse_red/...` property names."""
+    lines = fp.read().splitlines()
+    start = lines.index("end_header") + 1
+    body = lines[start:]
+    n = len(body)
+    points = np.zeros((n, 3), dtype=np.float32)
+    normals = np.zeros((n, 3), dtype=np.float32)
+    colors = np.zeros((n, 3), dtype=np.uint8)
+    labels = np.zeros((n,), dtype=np.uint8)
+    for i, row in enumerate(body):
+        w = row.split()
+        points[i] = [float(v) for v in w[0:3]]
+        normals[i] = [float(v) for v in w[3:6]]
+        colors[i] = [int(v) for v in w[6:9]]
+        labels[i] = int(w[9])
+    return points, normals, colors, labels
+
+
+# ---------------------------------------------------------------------------
+# Filesystem abstraction (reference: io.py:1357-1510) so datasets can live on
+# storage backends other than the local filesystem.
+# ---------------------------------------------------------------------------
+
+
+class IoFilesystemBase:
+    """Abstract filesystem interface for `DataSet` storage backends."""
+
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def ls(self, path: str) -> List[str]:
+        raise NotImplementedError
+
+    def isfile(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def isdir(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def rm_if_exist(self, filename: str) -> None:
+        raise NotImplementedError
+
+    def symlink(self, src_path: str, dst_path: str, **kwargs: Any) -> None:
+        raise NotImplementedError
+
+    def open(self, path: str, mode: str = "rt"):
+        raise NotImplementedError
+
+    def open_wb(self, path: str):
+        return self.open(path, "wb")
+
+    def open_rb(self, path: str):
+        return self.open(path, "rb")
+
+    def open_wt(self, path: str):
+        return self.open(path, "wt")
+
+    def open_rt(self, path: str):
+        return self.open(path, "rt")
+
+    def open_at(self, path: str):
+        return self.open(path, "at")
+
+    def mkdir_p(self, path: str) -> None:
+        raise NotImplementedError
+
+    def imread(self, path: str, grayscale: bool = False,
+               unchanged: bool = False, anydepth: bool = False) -> np.ndarray:
+        raise NotImplementedError
+
+    def imwrite(self, path: str, image: np.ndarray) -> None:
+        raise NotImplementedError
+
+    def image_size(self, path: str) -> Tuple[int, int]:
+        raise NotImplementedError
+
+    def timestamp(self, path: str) -> float:
+        raise NotImplementedError
+
+
+class IoFilesystemDefault(IoFilesystemBase):
+    """Local-filesystem implementation (reference: io.py:1429-1510)."""
+
+    type = "default"
+
+    def exists(self, path: str) -> bool:
+        import os
+        return os.path.exists(path)
+
+    def ls(self, path: str) -> List[str]:
+        import os
+        return os.listdir(path)
+
+    def isfile(self, path: str) -> bool:
+        import os
+        return os.path.isfile(path)
+
+    def isdir(self, path: str) -> bool:
+        import os
+        return os.path.isdir(path)
+
+    def rm_if_exist(self, filename: str) -> None:
+        import os
+        import shutil
+        if os.path.islink(filename):
+            os.unlink(filename)
+        elif os.path.isdir(filename):
+            shutil.rmtree(filename)
+        elif os.path.exists(filename):
+            os.remove(filename)
+
+    def symlink(self, src_path: str, dst_path: str, **kwargs: Any) -> None:
+        import os
+        os.symlink(src_path, dst_path, **kwargs)
+
+    def open(self, path: str, mode: str = "rt"):
+        return open(path, mode)
+
+    def mkdir_p(self, path: str) -> None:
+        import os
+        os.makedirs(path, exist_ok=True)
+
+    def imread(self, path: str, grayscale: bool = False,
+               unchanged: bool = False, anydepth: bool = False) -> np.ndarray:
+        import cv2
+        if grayscale:
+            flags = cv2.IMREAD_GRAYSCALE
+        elif unchanged:
+            flags = cv2.IMREAD_UNCHANGED
+        else:
+            flags = cv2.IMREAD_COLOR
+        if anydepth:
+            flags |= cv2.IMREAD_ANYDEPTH
+        image = cv2.imread(path, flags)
+        if image is None:
+            raise IOError(f"Unable to load image {path}")
+        if image.ndim == 3 and image.shape[2] >= 3:
+            image[..., :3] = image[..., [2, 1, 0]]  # BGR -> RGB
+        return image
+
+    def imwrite(self, path: str, image: np.ndarray) -> None:
+        import cv2
+        if image.ndim == 3 and image.shape[2] >= 3:
+            image = image.copy()
+            image[..., :3] = image[..., [2, 1, 0]]  # RGB -> BGR
+        if not cv2.imwrite(path, image):
+            raise IOError(f"Unable to write image {path}")
+
+    def image_size(self, path: str) -> Tuple[int, int]:
+        image = self.imread(path, grayscale=True)
+        return image.shape[0], image.shape[1]
+
+    def timestamp(self, path: str) -> float:
+        import os
+        return os.path.getmtime(path)

@@ -201,6 +201,58 @@ def homography_ransac(
     return np.asarray(result.model), result.inliers_indices
 
 
+def nullspace(A: np.ndarray) -> Tuple[float, np.ndarray]:
+    """Smallest singular value and the corresponding right singular vector."""
+    _, s, vh = np.linalg.svd(np.asarray(A, dtype=np.float64))
+    return float(s[-1]), vh[-1]
+
+
+def focal_from_homography(H: np.ndarray) -> float:
+    """Focal length of a rotation-only homography H = K R K^-1.
+
+    Solves W = H W H^T for W = diag(a, a, b) in the least-squares sense
+    (the 6 upper-triangle entries give 6 linear equations in (a, b)), then
+    f = sqrt(a/b).  Mirrors the reference's `focal_from_homography`
+    (multiview.py:260-283).
+    """
+    H = np.asarray(H, dtype=np.float64)
+    H = H / np.cbrt(np.linalg.det(H))
+    rows = []
+    for i in range(3):
+        for j in range(i, 3):
+            coef_a = H[i, 0] * H[j, 0] + H[i, 1] * H[j, 1]
+            coef_b = H[i, 2] * H[j, 2]
+            if i == j and i < 2:
+                coef_a -= 1.0
+            elif i == j:
+                coef_b -= 1.0
+            rows.append([coef_a, coef_b])
+    _, (a, b) = nullspace(np.array(rows))
+    return float(np.sqrt(abs(a / b)))
+
+
+def project_to_rotation_matrix(A: np.ndarray) -> Optional[np.ndarray]:
+    """Closest rotation matrix to A (Procrustes; multiview.py:299-307)."""
+    try:
+        u, _, vt = np.linalg.svd(np.asarray(A, dtype=np.float64))
+    except np.linalg.LinAlgError:
+        return None
+    R = u @ vt
+    if np.linalg.det(R) < 0:
+        R = u @ np.diag([1.0, 1.0, -1.0]) @ vt
+    return R
+
+
+def R_from_homography(
+    H: np.ndarray, f1: float, f2: float
+) -> Optional[np.ndarray]:
+    """Rotation between two views related by a rotation-only homography
+    (multiview.py:288-296)."""
+    K1 = np.diag([f1, f1, 1.0])
+    K2_inv = np.diag([1.0 / f2, 1.0 / f2, 1.0])
+    return project_to_rotation_matrix(K2_inv @ np.asarray(H) @ K1)
+
+
 def motion_from_plane_homography(
     H: np.ndarray,
 ) -> Optional[List[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]]:

@@ -139,3 +139,44 @@ def test_rig_json_roundtrip():
     assert np.allclose(
         shot2.pose.translation, rec.shots["im1"].pose.translation
     )
+
+
+def test_point_cloud_ply_roundtrip() -> None:
+    """Dense PLY write/read roundtrip (reference io.py:1184-1249)."""
+    import io as stdio
+
+    import numpy as np
+
+    from opensfm_tpu import io
+
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-5, 5, (7, 3)).astype(np.float32)
+    nrm = rng.normal(size=(7, 3)).astype(np.float32)
+    col = rng.integers(0, 255, (7, 3)).astype(np.uint8)
+    lab = np.arange(7, dtype=np.uint8)
+    buf = stdio.StringIO()
+    io.point_cloud_to_ply(pts, nrm, col, lab, buf)
+    buf.seek(0)
+    p2, n2, c2, l2 = io.point_cloud_from_ply(buf)
+    assert np.allclose(pts, p2, atol=1e-3)
+    assert np.allclose(nrm, n2, atol=1e-3)
+    assert (col == c2).all() and (lab == l2).all()
+
+
+def test_io_filesystem_default(tmp_path) -> None:
+    """IoFilesystemDefault basics (reference io.py:1429-1510)."""
+    from opensfm_tpu import io
+
+    fs = io.IoFilesystemDefault()
+    d = str(tmp_path / "sub")
+    fs.mkdir_p(d)
+    assert fs.isdir(d) and fs.exists(d)
+    f = str(tmp_path / "sub" / "x.txt")
+    with fs.open_wt(f) as fp:
+        fp.write("hello")
+    with fs.open_rt(f) as fp:
+        assert fp.read() == "hello"
+    assert fs.isfile(f) and fs.timestamp(f) > 0
+    assert fs.ls(d) == ["x.txt"]
+    fs.rm_if_exist(f)
+    assert not fs.exists(f)

@@ -230,3 +230,20 @@ def test_epipolar_angle_matrix():
     # Off-diagonal pairs generally don't.
     off = np.abs(ang - np.diag(np.diag(ang)))
     assert off.max() > 1e-3
+
+
+def test_focal_and_rotation_from_homography() -> None:
+    """Self-calibration from a rotation-only homography
+    (reference multiview.py:260-307)."""
+    import numpy as np
+
+    from opensfm_tpu import multiview
+    from opensfm_tpu.geometry.pose import Pose
+
+    f = 0.85
+    K = np.diag([f, f, 1.0])
+    R = Pose(np.array([0.25, -0.1, 0.15])).get_rotation_matrix()
+    H = K @ R @ np.linalg.inv(K)
+    assert abs(multiview.focal_from_homography(2.0 * H) - f) < 1e-6
+    R_est = multiview.R_from_homography(H, f, f)
+    assert np.abs(R_est - R).max() < 1e-9
