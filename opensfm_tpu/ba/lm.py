@@ -168,10 +168,11 @@ def _origin(pose6):
 @partial(
     jax.jit,
     static_argnames=("ptype", "loss", "loss_threshold", "pmax", "with_depth",
-                     "rig_transform", "rig_jac"),
+                     "rig_transform", "rig_jac", "canonical"),
 )
 def _residual_data(state, data, ptype, loss, loss_threshold, pmax,
-                   with_depth=False, rig_transform=True, rig_jac=True):
+                   with_depth=False, rig_transform=True, rig_jac=True,
+                   canonical=False):
     """Per-observation weighted residuals + Jacobians + robust IRLS weights.
 
     `ptype` is either a single projection type string or a tuple of
@@ -208,10 +209,15 @@ def _residual_data(state, data, ptype, loss, loss_threshold, pmax,
             fused_residual_jacobian,
         )
 
+        num_obs = d["obs_uv"].shape[0]
+        np_pts = points.shape[0]
+        # Canonical (point, slot) layout: gathers lower to repeat/one-hot.
+        point_repeat = num_obs // np_pts if canonical else 0
+
         return fused_residual_jacobian(
             inst, cam, points, d["obs_inst"], d["obs_cam"], d["obs_point"],
             d["obs_uv"], d["obs_inv_sd"], loss=loss,
-            loss_threshold=loss_threshold,
+            loss_threshold=loss_threshold, point_repeat=point_repeat,
         )
 
     def make_batched(pt):
@@ -542,7 +548,7 @@ def _build_reduced_system(state, data, lam, ptype, loss, loss_threshold,
 
     r, Jc, Jp, _ = _residual_data(
         state, data, ptype, loss, loss_threshold, pmax, with_depth,
-        rig_transform=rig_transform, rig_jac=rig_jac,
+        rig_transform=rig_transform, rig_jac=rig_jac, canonical=canonical,
     )
     num_obs = r.shape[0]
 
@@ -815,6 +821,7 @@ def _build_reduced_system(state, data, lam, ptype, loss, loss_threshold,
         Hpp_inv=Hpp_inv, bp=bp,
         obs_inst=data["obs_inst"], obs_rigcam=data["obs_rigcam"],
         obs_cam=data["obs_cam"], padded=padded,
+        Ei_f=Ei_f, Er_f=Er_f if rig_jac else None, Ec_f=Ec_f,
     )
     return S, b, back
 
@@ -854,14 +861,33 @@ def _lm_step(state, data, lam, ptype, loss, loss_threshold, pmax, ni, nr, nc,
     # — one elementwise pass over the already-materialized Jacobians instead
     # of the [NP, T, bdim, 3] G tensors (which would otherwise be kept alive
     # or rematerialized across the Cholesky solve).
+    if jax.default_backend() == "tpu":
+        # Row-gathers of 6-float rows cost ~1 ms each at O=524k on TPU; the
+        # one-hot MXU expansion of the tiny dx tables costs ~0.05 ms.
+        # HIGHEST precision: the default TPU f32 matmul would truncate dx
+        # to bf16 on the MXU.
+        def expand(E, dx):
+            if dx.shape[0] == 1:
+                return jnp.broadcast_to(dx, (E.shape[0], dx.shape[1]))
+            return jnp.matmul(
+                E.astype(dx.dtype), dx, precision=jax.lax.Precision.HIGHEST
+            )
+
+        dxi_o = expand(back["Ei_f"], dx_i)
+        dxc_o = expand(back["Ec_f"], dx_cam)
+        dxr_o = expand(back["Er_f"], dx_r) if back["Jr"] is not None else None
+    else:
+        dxi_o = dx_i[back["obs_inst"]]
+        dxc_o = dx_cam[back["obs_cam"]]
+        dxr_o = (
+            dx_r[back["obs_rigcam"]] if back["Jr"] is not None else None
+        )
     tmp = (
-        jnp.sum(back["Ji"] * dx_i[back["obs_inst"]][:, None, :], axis=-1)
-        + jnp.sum(back["Jcam"] * dx_cam[back["obs_cam"]][:, None, :], axis=-1)
+        jnp.sum(back["Ji"] * dxi_o[:, None, :], axis=-1)
+        + jnp.sum(back["Jcam"] * dxc_o[:, None, :], axis=-1)
     )  # [O, K]
     if back["Jr"] is not None:
-        tmp = tmp + jnp.sum(
-            back["Jr"] * dx_r[back["obs_rigcam"]][:, None, :], axis=-1
-        )
+        tmp = tmp + jnp.sum(back["Jr"] * dxr_o[:, None, :], axis=-1)
     tmp_pt = back["padded"](tmp)  # [NP, T, K]
     u = jnp.sum(back["Jp_pt"] * tmp_pt[..., None], axis=(1, 2))  # [NP, 3]
     dx_p = jnp.sum(Hpp_inv * (bp - u)[:, None, :], axis=-1)
