@@ -32,9 +32,10 @@ def main() -> None:
 
     # Representative mid-size problem: 64 cameras, 8192 points, ~200k obs.
     n_shots, n_points = 64, 8192
-    problem = lm.canonicalize_problem(
+    problem, dense = lm.canonicalize_problem_dense(
         _make_problem(n_shots=n_shots, n_points=n_points, seed=0)
     )
+    assert dense, "bench problem should densify (every point seen everywhere)"
     ni, nr, nc, npts, O, T = problem.counts()
     pmax = problem.cam.shape[1]
     dtype = jnp.float32
@@ -79,6 +80,7 @@ def main() -> None:
                 st, data, lam, ptype=ptype, loss=loss,
                 loss_threshold=loss_threshold, pmax=pmax, ni=ni, nr=nr, nc=nc,
                 canonical=True, rig_transform=False, rig_jac=False,
+                dense=True,
             )
 
         return jax.lax.fori_loop(0, iters, body, state)

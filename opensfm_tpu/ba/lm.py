@@ -168,11 +168,11 @@ def _origin(pose6):
 @partial(
     jax.jit,
     static_argnames=("ptype", "loss", "loss_threshold", "pmax", "with_depth",
-                     "rig_transform", "rig_jac", "canonical"),
+                     "rig_transform", "rig_jac", "canonical", "dense"),
 )
 def _residual_data(state, data, ptype, loss, loss_threshold, pmax,
                    with_depth=False, rig_transform=True, rig_jac=True,
-                   canonical=False):
+                   canonical=False, dense=False):
     """Per-observation weighted residuals + Jacobians + robust IRLS weights.
 
     `ptype` is either a single projection type string or a tuple of
@@ -211,13 +211,15 @@ def _residual_data(state, data, ptype, loss, loss_threshold, pmax,
 
         num_obs = d["obs_uv"].shape[0]
         np_pts = points.shape[0]
-        # Canonical (point, slot) layout: gathers lower to repeat/one-hot.
+        # Canonical (point, slot) layout: gathers lower to repeat/one-hot;
+        # dense instance-slot layout: the instance table simply tiles.
         point_repeat = num_obs // np_pts if canonical else 0
 
         return fused_residual_jacobian(
             inst, cam, points, d["obs_inst"], d["obs_cam"], d["obs_point"],
             d["obs_uv"], d["obs_inv_sd"], loss=loss,
             loss_threshold=loss_threshold, point_repeat=point_repeat,
+            dense_inst=dense,
         )
 
     def make_batched(pt):
@@ -438,6 +440,70 @@ def canonicalize_problem(problem: "BAProblem") -> "BAProblem":
     return dataclasses.replace(problem, **repl)
 
 
+def canonicalize_problem_dense(problem: "BAProblem"):
+    """Re-layout observations on the dense [NP, NI] instance-slot grid.
+
+    Slot index == rig-instance index, so `obs_inst == tile(arange(NI), NP)`
+    and `obs_point == repeat(arange(NP), NI)` both become implicit: every
+    one-hot selector in the reduced-system assembly degenerates to the
+    identity and disappears (no [O, NI] selector traffic, no relayouts).
+    Dead (point, instance) slots carry obs_inv_sd == 0.
+
+    Applies only to mono single-camera problems (identity rig chain, one
+    camera) whose densified size stays within 8x the real observation count
+    (or 4M slots); anything else falls back to `canonicalize_problem`.
+    Returns (problem, dense_flag).
+    """
+    if not isinstance(problem.ptype, str):
+        return canonicalize_problem(problem), False
+    ni = len(problem.inst)
+    np_pts = len(problem.points)
+    O = len(problem.obs_uv)
+    dense_O = np_pts * ni
+    mono = (
+        len(problem.cam) == 1
+        and not bool(np.asarray(problem.opt_rigcam).any())
+        and float(np.abs(np.asarray(problem.rigcam)).max(initial=0.0)) <= 1e-12
+    )
+    if not mono or O == 0 or (dense_O > 8 * O and dense_O > (1 << 22)):
+        return canonicalize_problem(problem), False
+    o_new = (
+        np.asarray(problem.obs_point, dtype=np.int64) * ni
+        + np.asarray(problem.obs_inst, dtype=np.int64)
+    )
+    if np.unique(o_new).size != O:  # duplicate (point, instance) pair
+        return canonicalize_problem(problem), False
+
+    def scatter(x, fill=0.0):
+        x = np.asarray(x)
+        out = np.full((dense_O,) + x.shape[1:], fill, dtype=x.dtype)
+        out[o_new] = x
+        return out
+
+    import dataclasses
+
+    repl = dict(
+        obs_uv=scatter(problem.obs_uv),
+        obs_inv_sd=scatter(problem.obs_inv_sd),
+        obs_point=np.repeat(
+            np.arange(np_pts, dtype=np.int64), ni
+        ).astype(np.asarray(problem.obs_point).dtype),
+        obs_inst=np.tile(
+            np.arange(ni, dtype=np.int64), np_pts
+        ).astype(np.asarray(problem.obs_inst).dtype),
+        obs_rigcam=np.zeros(dense_O, dtype=np.asarray(problem.obs_rigcam).dtype),
+        obs_cam=np.zeros(dense_O, dtype=np.asarray(problem.obs_cam).dtype),
+        point_obs=np.arange(dense_O, dtype=np.int64).reshape(np_pts, ni),
+    )
+    if problem.obs_depth is not None:
+        repl["obs_depth"] = scatter(problem.obs_depth)
+    if problem.obs_depth_inv_sd is not None:
+        repl["obs_depth_inv_sd"] = scatter(problem.obs_depth_inv_sd)
+    if problem.obs_depth_radial is not None:
+        repl["obs_depth_radial"] = scatter(problem.obs_depth_radial, False)
+    return dataclasses.replace(problem, **repl), True
+
+
 def _wrap_angle(a):
     """Wrap to (-pi, pi] (DiffBetweenAngles, error_utils.h)."""
     return a - 2.0 * jnp.pi * jnp.round(a / (2.0 * jnp.pi))
@@ -530,7 +596,7 @@ def _shot_prior_residuals(state, data, raw=False):
 
 def _build_reduced_system(state, data, lam, ptype, loss, loss_threshold,
                           pmax, ni, nr, nc, with_depth, canonical=False,
-                          rig_transform=True, rig_jac=True):
+                          rig_transform=True, rig_jac=True, dense=False):
     """Assemble the Schur-reduced camera system.
 
     Scatter-free assembly (TPU scatters serialize): per-point structure
@@ -540,23 +606,47 @@ def _build_reduced_system(state, data, lam, ptype, loss, loss_threshold,
     selectors as flat [O, n] matmuls (MXU) over the SMALL index sets
     (instances, rig cameras, cameras).
 
+    `dense` asserts the dense instance-slot layout
+    (`canonicalize_problem_dense`: slot index == instance index, T == NI,
+    nc == 1, mono): every one-hot selector is then the identity, so the
+    E matmuls, their [NP,T,NI] materializations and the relayout copies all
+    disappear — block contractions become plain dense reductions over
+    [NP, NI, ...].  Implies `canonical`.
+
     Returns (S, b, back) where `back` carries what back-substitution needs.
     """
     inst, rigcam, cam, points = state
     np_pts = points.shape[0]
     dtype = points.dtype
+    if dense:
+        assert canonical and not rig_jac and nc == 1
 
     r, Jc, Jp, _ = _residual_data(
         state, data, ptype, loss, loss_threshold, pmax, with_depth,
         rig_transform=rig_transform, rig_jac=rig_jac, canonical=canonical,
+        dense=dense,
     )
     num_obs = r.shape[0]
 
     # Mask Jacobians of fixed parameters (zero rows instead of index games).
-    opt_p = data["opt_points"][data["obs_point"]].astype(dtype)
+    if canonical:
+        opt_p = jnp.repeat(
+            data["opt_points"].astype(dtype), num_obs // np_pts
+        )
+    else:
+        opt_p = data["opt_points"][data["obs_point"]].astype(dtype)
     Jp = Jp * opt_p[:, None, None]
-    opt_i_o = data["opt_inst"][data["obs_inst"]].astype(dtype)
-    opt_c_o = data["opt_cam"][data["obs_cam"]].astype(dtype)  # [O, pmax]
+    if dense:
+        # slot == instance: per-obs masks broadcast from the tiny tables.
+        opt_i_o = jnp.broadcast_to(
+            data["opt_inst"].astype(dtype)[None], (np_pts, ni)
+        ).reshape(num_obs)
+        opt_c_o = jnp.broadcast_to(
+            data["opt_cam"].astype(dtype), (num_obs, pmax)
+        )
+    else:
+        opt_i_o = data["opt_inst"][data["obs_inst"]].astype(dtype)
+        opt_c_o = data["opt_cam"][data["obs_cam"]].astype(dtype)  # [O, pmax]
     Ji = Jc[:, :, 0:6] * opt_i_o[:, None, None]
     if rig_jac:
         opt_r_o = data["opt_rigcam"][data["obs_rigcam"]].astype(dtype)
@@ -591,13 +681,18 @@ def _build_reduced_system(state, data, lam, ptype, loss, loss_threshold,
     # 0/1 selectors are exact in bfloat16 — halves the [O, NI] HBM traffic
     # (134 MB at the bench size, read by several contractions); XLA fuses
     # the upconvert into each consuming matmul.
-    e_dtype = jnp.bfloat16 if dtype == jnp.float32 else dtype
-    Ei_f = jax.nn.one_hot(data["obs_inst"], ni, dtype=e_dtype)  # [O,NI]
-    Er_f = jax.nn.one_hot(data["obs_rigcam"], nr, dtype=e_dtype)
-    Ec_f = jax.nn.one_hot(data["obs_cam"], nc, dtype=e_dtype)
-    E_i = padded(Ei_f)  # [NP,T,NI]
-    E_r = padded(Er_f) if rig_jac else None
-    E_c = padded(Ec_f)
+    if dense:
+        # slot == instance: every selector is the identity — no one-hots.
+        Ei_f = Er_f = Ec_f = None
+        E_i = E_r = E_c = None
+    else:
+        e_dtype = jnp.bfloat16 if dtype == jnp.float32 else dtype
+        Ei_f = jax.nn.one_hot(data["obs_inst"], ni, dtype=e_dtype)  # [O,NI]
+        Er_f = jax.nn.one_hot(data["obs_rigcam"], nr, dtype=e_dtype)
+        Ec_f = jax.nn.one_hot(data["obs_cam"], nc, dtype=e_dtype)
+        E_i = padded(Ei_f)  # [NP,T,NI]
+        E_r = padded(Er_f) if rig_jac else None
+        E_c = padded(Ec_f)
 
     # --- point system (pure reshaped reductions) ---------------------------
     # Small contractions (k=2, j=3) are written as broadcast-sums throughout:
@@ -644,6 +739,11 @@ def _build_reduced_system(state, data, lam, ptype, loss, loss_threshold,
             Ga[..., None] * Hpp_inv[:, None, None, :, :], axis=-2
         )
         G[name] = Ga
+        if dense:
+            # slot t IS block index a: the E contraction is the identity.
+            U[name] = Aa
+            V[name] = Ga
+            continue
         # Contractions over T are real matmuls — keep them on the MXU.
         U[name] = jnp.einsum("pta,ptxk->paxk", E, Aa)  # [NP,n,bdim,3]
         V[name] = jnp.einsum("pta,ptxk->paxk", E, Ga)
@@ -658,13 +758,16 @@ def _build_reduced_system(state, data, lam, ptype, loss, loss_threshold,
         # Same-obs block-diagonal contributions (one block per obs).
         E, Jf = flat[name]
         x = Jf.shape[2]
-        if E.shape[1] == 1:
+        n_blk = {"i": ni, "c": nc, "r": nr}[name]
+        if n_blk == 1:
             # Single block: sum_o J_o' J_o is ONE MXU matmul over the K-major
             # flattening — avoids the [O, x, x] outer-product intermediate
             # (472 MB of HBM traffic for the camera family at O=524k).
             J2 = Jf.reshape(-1, x)
             return (J2.T @ J2)[None]
         M = jnp.sum(Jf[:, :, :, None] * Jf[:, :, None, :], axis=1)
+        if dense:
+            return M.reshape(np_pts, n_blk, x, x).sum(0)
         return (E.T @ M.reshape(num_obs, x * x)).reshape(-1, x, x)
 
     def direct_cross(a, b_):
@@ -673,8 +776,9 @@ def _build_reduced_system(state, data, lam, ptype, loss, loss_threshold,
         E_a, J_a = flat[a]
         E_b, J_b = flat[b_]
         xa, yb = J_a.shape[2], J_b.shape[2]
-        nb = E_b.shape[1]
-        if E_a.shape[1] == 1 and nb == 1:
+        na = {"i": ni, "c": nc, "r": nr}[a]
+        nb = {"i": ni, "c": nc, "r": nr}[b_]
+        if na == 1 and nb == 1:
             # Both single-block: one matmul, no per-obs intermediates.
             A2 = J_a.reshape(-1, xa)
             B2 = J_b.reshape(-1, yb)
@@ -684,6 +788,8 @@ def _build_reduced_system(state, data, lam, ptype, loss, loss_threshold,
         )  # [O, xa, yb]
         if nb == 1:
             # Skip the [O, nb, xa, yb] broadcast: E_b is identically 1.
+            if dense:
+                return M.reshape(np_pts, na, xa, yb).sum(0)[:, :, None, :]
             out = E_a.T @ M.reshape(num_obs, xa * yb)
             return out.reshape(-1, xa, yb)[:, :, None, :]
         T1 = M[:, None, :, :] * E_b[:, :, None, None]  # [O, nb, xa, yb]
@@ -717,10 +823,15 @@ def _build_reduced_system(state, data, lam, ptype, loss, loss_threshold,
     def rhs(name, E_pt, J_pt, n_blk, bdim):
         E_f, J_f = flat[name]
         JTr = jnp.sum(J_f * r[:, :, None], axis=1)  # [O, bdim]
-        direct = E_f.T @ JTr  # [n, bdim]
         if n_blk == 1:
+            direct = jnp.sum(JTr, axis=0)[None]
             gschur = jnp.einsum("pxk,pk->x", V[name][:, 0], Hib)[None]
+        elif dense:
+            direct = JTr.reshape(np_pts, n_blk, bdim).sum(0)
+            GH = jnp.sum(G[name] * Hib[:, None, None, :], axis=-1)
+            gschur = GH.sum(0)  # [n_blk, bdim]: slot == block index
         else:
+            direct = E_f.T @ JTr  # [n, bdim]
             GH = jnp.sum(
                 G[name] * Hib[:, None, None, :], axis=-1
             )  # [NP,T,bdim]
@@ -820,7 +931,7 @@ def _build_reduced_system(state, data, lam, ptype, loss, loss_threshold,
         Ji=Ji, Jr=Jr if rig_jac else None, Jcam=Jcam, Jp_pt=Jp_pt,
         Hpp_inv=Hpp_inv, bp=bp,
         obs_inst=data["obs_inst"], obs_rigcam=data["obs_rigcam"],
-        obs_cam=data["obs_cam"], padded=padded,
+        obs_cam=data["obs_cam"], padded=padded, dense=dense,
         Ei_f=Ei_f, Er_f=Er_f if rig_jac else None, Ec_f=Ec_f,
     )
     return S, b, back
@@ -830,17 +941,17 @@ def _build_reduced_system(state, data, lam, ptype, loss, loss_threshold,
     jax.jit,
     static_argnames=(
         "ptype", "loss", "loss_threshold", "pmax", "ni", "nr", "nc",
-        "with_depth", "canonical", "rig_transform", "rig_jac",
+        "with_depth", "canonical", "rig_transform", "rig_jac", "dense",
     ),
 )
 def _lm_step(state, data, lam, ptype, loss, loss_threshold, pmax, ni, nr, nc,
              with_depth=False, canonical=False, rig_transform=True,
-             rig_jac=True):
+             rig_jac=True, dense=False):
     """One damped LM step: assemble, Schur-eliminate points, solve, update."""
     inst, rigcam, cam, points = state
     S, b, back = _build_reduced_system(
         state, data, lam, ptype, loss, loss_threshold, pmax, ni, nr, nc,
-        with_depth, canonical, rig_transform, rig_jac,
+        with_depth, canonical, rig_transform, rig_jac, dense,
     )
     # S is SPD after damping + identity rows: Cholesky beats the LU lowering.
     L = jax.lax.linalg.cholesky(S)
@@ -861,7 +972,15 @@ def _lm_step(state, data, lam, ptype, loss, loss_threshold, pmax, ni, nr, nc,
     # — one elementwise pass over the already-materialized Jacobians instead
     # of the [NP, T, bdim, 3] G tensors (which would otherwise be kept alive
     # or rematerialized across the Cholesky solve).
-    if jax.default_backend() == "tpu":
+    num_obs = back["Ji"].shape[0]
+    if back["dense"]:
+        # slot == instance: the per-obs dx rows are a pure broadcast.
+        dxi_o = jnp.broadcast_to(
+            dx_i[None], (num_obs // ni, ni, 6)
+        ).reshape(num_obs, 6)
+        dxc_o = jnp.broadcast_to(dx_cam, (num_obs, pmax))
+        dxr_o = None
+    elif jax.default_backend() == "tpu":
         # Row-gathers of 6-float rows cost ~1 ms each at O=524k on TPU; the
         # one-hot MXU expansion of the tiny dx tables costs ~0.05 ms.
         # HIGHEST precision: the default TPU f32 matmul would truncate dx
@@ -905,12 +1024,12 @@ def _lm_step(state, data, lam, ptype, loss, loss_threshold, pmax, ni, nr, nc,
     jax.jit,
     static_argnames=(
         "ptype", "loss", "loss_threshold", "pmax", "ni", "nr", "nc",
-        "with_depth", "canonical", "rig_transform", "rig_jac",
+        "with_depth", "canonical", "rig_transform", "rig_jac", "dense",
     ),
 )
 def _instance_covariances(state, data, ptype, loss, loss_threshold, pmax,
                           ni, nr, nc, with_depth=False, canonical=False,
-                          rig_transform=True, rig_jac=True):
+                          rig_transform=True, rig_jac=True, dense=False):
     """Marginal 6x6 covariances of the rig-instance poses.
 
     Mirrors ComputeCovariances (bundle_adjuster.cc:1123-1194): the points are
@@ -920,7 +1039,7 @@ def _instance_covariances(state, data, ptype, loss, loss_threshold, pmax,
     S, _, _ = _build_reduced_system(
         state, data, jnp.zeros((), dtype=state[3].dtype), ptype, loss,
         loss_threshold, pmax, ni, nr, nc, with_depth, canonical,
-        rig_transform, rig_jac,
+        rig_transform, rig_jac, dense,
     )
     Sinv = tpu_linalg.inv_spd(S)
     blocks = Sinv[: ni * 6, : ni * 6].reshape(ni, 6, ni, 6)
@@ -934,28 +1053,49 @@ def _instance_covariances(state, data, ptype, loss, loss_threshold, pmax,
 @partial(
     jax.jit,
     static_argnames=("ptype", "loss", "loss_threshold", "pmax", "with_depth",
-                     "rig_transform", "rig_jac"),
+                     "rig_transform", "rig_jac", "canonical", "dense"),
 )
 def _total_cost(state, data, ptype, loss, loss_threshold, pmax,
-                with_depth=False, rig_transform=True, rig_jac=True):
+                with_depth=False, rig_transform=True, rig_jac=True,
+                canonical=False, dense=False):
     """Objective only — no Jacobians (cheap accept/reject evaluation)."""
     inst, rigcam, cam, points = state
     d = data
 
-    segments = ((ptype, 0, d["obs_uv"].shape[0]),) if isinstance(ptype, str) else ptype
+    num_obs = d["obs_uv"].shape[0]
+    if canonical:
+        # Point-major layout: the [O] point gather is a pure repeat.
+        T_slots = num_obs // points.shape[0]
+        points_o = jnp.repeat(points, T_slots, axis=0)
+    else:
+        points_o = points[d["obs_point"]]
+    if dense:
+        # slot == instance: the instance gather is a pure broadcast.
+        ni = inst.shape[0]
+        inst_o = jnp.broadcast_to(
+            inst[None], (num_obs // ni, ni, 6)
+        ).reshape(num_obs, 6)
+    else:
+        inst_o = inst[d["obs_inst"]]
+
+    segments = ((ptype, 0, num_obs),) if isinstance(ptype, str) else ptype
     rho, _ = LOSSES[loss]
     a2 = loss_threshold * loss_threshold
     total = jnp.zeros((), dtype=points.dtype)
     for pt, start, end in segments:
         sl = slice(start, end)
-        Xi = rot.rotate(inst[d["obs_inst"][sl]][:, 0:3], points[d["obs_point"][sl]]) \
-            + inst[d["obs_inst"][sl]][:, 3:6]
+        Xi = rot.rotate(inst_o[sl][:, 0:3], points_o[sl]) \
+            + inst_o[sl][:, 3:6]
         if rig_transform:
             rc = rigcam[d["obs_rigcam"][sl]]
             Xc = rot.rotate(rc[:, 0:3], Xi) + rc[:, 3:6]
         else:
             Xc = Xi
-        pred = cam_lib.project(pt, Xc, cam[d["obs_cam"][sl]][:, :pmax], xp=jnp)
+        if cam.shape[0] == 1:
+            cam_sl = jnp.broadcast_to(cam[:, :pmax], (end - start, pmax))
+        else:
+            cam_sl = cam[d["obs_cam"][sl]][:, :pmax]
+        pred = cam_lib.project(pt, Xc, cam_sl, xp=jnp)
         diff = pred - d["obs_uv"][sl]
         if pt == "spherical":
             diff = diff - jnp.round(diff)
@@ -991,7 +1131,7 @@ def bundle_adjust(
 ) -> BAResult:
     """Run LM to convergence (host-controlled damping loop; each trial step
     and cost evaluation is one fused jitted device call)."""
-    problem = canonicalize_problem(problem)
+    problem, dense = canonicalize_problem_dense(problem)
     canonical = isinstance(problem.ptype, str)
     ni, nr, nc, npts, num_obs, T = problem.counts()
     pmax = problem.cam.shape[1]
@@ -1062,12 +1202,17 @@ def bundle_adjust(
     rig_transform = rig_jac or bool(
         np.abs(np.asarray(problem.rigcam)).max() > 1e-12
     )
+    # Dense instance-slot mode implies the mono fast path.
+    if dense:
+        rig_jac = False
+        rig_transform = False
     statics = dict(
         ptype=problem.ptype, loss=problem.loss,
         loss_threshold=float(problem.loss_threshold), pmax=pmax,
         with_depth=with_depth, rig_transform=rig_transform, rig_jac=rig_jac,
+        canonical=canonical, dense=dense,
     )
-    step_statics = dict(statics, canonical=canonical)
+    step_statics = dict(statics)
 
     cost = float(_total_cost(state, data, **statics))
     initial_cost = cost

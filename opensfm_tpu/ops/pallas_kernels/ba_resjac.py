@@ -100,12 +100,14 @@ def _make_kernel(loss: str, loss_threshold: float):
 
 @partial(
     jax.jit,
-    static_argnames=("loss", "loss_threshold", "interpret", "point_repeat"),
+    static_argnames=(
+        "loss", "loss_threshold", "interpret", "point_repeat", "dense_inst",
+    ),
 )
 def fused_residual_jacobian(
     inst, cam, points, obs_inst, obs_cam, obs_point, obs_uv, obs_inv_sd,
     loss: str, loss_threshold: float, interpret: bool = False,
-    point_repeat: int = 0,
+    point_repeat: int = 0, dense_inst: bool = False,
 ):
     """Returns (r[O,2], Jc[O,2,9], Jp[O,2,3], cost[O]) — whitened residuals,
     sqrt-IRLS-weighted Jacobians (columns: 6 instance pose, 3 camera
@@ -126,8 +128,14 @@ def fused_residual_jacobian(
         # to bf16 on the MXU, which would corrupt the expanded table rows.
         hp = jax.lax.Precision.HIGHEST
         ni = inst.shape[0]
-        Ei = jax.nn.one_hot(obs_inst, ni, dtype=inst.dtype)
-        gi = jnp.matmul(Ei, inst, precision=hp)  # [O, 6]
+        if dense_inst:
+            # Dense instance-slot layout (slot == instance): pure broadcast.
+            gi = jnp.broadcast_to(
+                inst[None], (O // ni, ni, inst.shape[1])
+            ).reshape(O, inst.shape[1])
+        else:
+            Ei = jax.nn.one_hot(obs_inst, ni, dtype=inst.dtype)
+            gi = jnp.matmul(Ei, inst, precision=hp)  # [O, 6]
         gx = jnp.repeat(points, point_repeat, axis=0)  # [O, 3], no gather
         if cam.shape[0] == 1:
             gc = jnp.broadcast_to(cam[:, :3], (O, 3))
