@@ -1050,6 +1050,69 @@ def _lm_step(state, data, lam, ptype, loss, loss_threshold, pmax, ni, nr, nc,
     static_argnames=(
         "ptype", "loss", "loss_threshold", "pmax", "ni", "nr", "nc",
         "with_depth", "canonical", "rig_transform", "rig_jac", "dense",
+        "max_iterations",
+    ),
+)
+def _lm_solve(state, data, lam0, tol, ptype, loss, loss_threshold, pmax,
+              ni, nr, nc, with_depth=False, canonical=False,
+              rig_transform=True, rig_jac=True, dense=False,
+              max_iterations=50):
+    """Whole LM solve as ONE device program (lax.while_loop).
+
+    The host damping loop costs 2+ host<->device round-trips per trial (the
+    `float(cost)` sync); on a tunneled TPU that dwarfs the math.  This runs
+    the identical trial sequence device-side: accept when the cost drops,
+    lam /= 3 on accept, lam *= 10 on reject, stop after 8 consecutive
+    rejects, `rel < tol`, or `max_iterations` accepted steps."""
+    dtype = state[3].dtype
+    kw = dict(
+        ptype=ptype, loss=loss, loss_threshold=loss_threshold, pmax=pmax,
+        with_depth=with_depth, rig_transform=rig_transform, rig_jac=rig_jac,
+        canonical=canonical, dense=dense,
+    )
+    cost0 = _total_cost(state, data, **kw)
+
+    def cond(carry):
+        _, _, _, rejects, accepted, done, trials = carry
+        return (~done) & (trials < 8 * max_iterations)
+
+    def body(carry):
+        st, cost, lam, rejects, accepted, done, trials = carry
+        new_st = _lm_step(st, data, lam, ni=ni, nr=nr, nc=nc, **kw)
+        new_cost = _total_cost(new_st, data, **kw)
+        accept = jnp.isfinite(new_cost) & (new_cost < cost)
+        rel = (cost - new_cost) / jnp.maximum(cost, 1e-30)
+        st = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(accept, n, o), new_st, st
+        )
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.where(
+            accept,
+            jnp.maximum(lam / 3.0, 1e-12),
+            jnp.minimum(lam * 10.0, 1e8),
+        )
+        rejects = jnp.where(accept, 0, rejects + 1)
+        accepted = accepted + accept.astype(jnp.int32)
+        done = (
+            (accept & (rel < tol))
+            | (rejects >= 8)
+            | (accepted >= max_iterations)
+        )
+        return (st, cost, lam, rejects, accepted, done, trials + 1)
+
+    init = (
+        state, cost0, jnp.asarray(lam0, dtype), jnp.int32(0), jnp.int32(0),
+        jnp.asarray(False), jnp.int32(0),
+    )
+    st, cost, lam, _, accepted, _, _ = jax.lax.while_loop(cond, body, init)
+    return st, cost0, cost, lam, accepted
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "ptype", "loss", "loss_threshold", "pmax", "ni", "nr", "nc",
+        "with_depth", "canonical", "rig_transform", "rig_jac", "dense",
     ),
 )
 def _instance_covariances(state, data, ptype, loss, loss_threshold, pmax,
@@ -1086,6 +1149,37 @@ def _total_cost(state, data, ptype, loss, loss_threshold, pmax,
     """Objective only — no Jacobians (cheap accept/reject evaluation)."""
     inst, rigcam, cam, points = state
     d = data
+
+    # TPU fast path: the fused Pallas kernel already emits the per-obs
+    # robust cost; one kernel pass beats the pure-XLA forward (whose [O,·]
+    # intermediates bounce through HBM in layout copies) by ~20x even
+    # though it also computes the 12 unused Jacobian pushes.
+    if (
+        ptype == "perspective"
+        and not rig_transform
+        and not rig_jac
+        and not with_depth
+        and pmax == 3
+        and points.dtype == jnp.float32
+        and jax.default_backend() == "tpu"
+    ):
+        _, _, _, cost = _residual_data(
+            state, data, ptype, loss, loss_threshold, pmax, with_depth,
+            rig_transform=rig_transform, rig_jac=rig_jac,
+            canonical=canonical, dense=dense,
+        )
+        total = jnp.sum(cost)
+        for pr, _, _ in _prior_residuals(state, data):
+            total = total + 0.5 * jnp.sum(pr * pr)
+        rho_c = LOSSES["CauchyLoss"][0]
+        for pr in _shot_prior_residuals(state, data, raw=True):
+            s = jnp.sum(pr * pr, axis=-1)
+            total = total + jnp.sum(0.5 * rho_c(s))
+        points_ = state[3]
+        pp_r = (
+            points_ - data["point_prior"]
+        ) * data["point_prior_inv_sd"]
+        return total + 0.5 * jnp.sum(pp_r * pp_r)
 
     num_obs = d["obs_uv"].shape[0]
     if canonical:
@@ -1239,33 +1333,18 @@ def bundle_adjust(
     )
     step_statics = dict(statics)
 
-    cost = float(_total_cost(state, data, **statics))
-    initial_cost = cost
-    lam = initial_lambda
-    iters_done = 0
-    for it in range(max_iterations):
-        accepted = False
-        for _trial in range(8):
-            # lam must be a traced array: a Python float would bake into the
-            # jaxpr as a constant and force a recompile per damping value.
-            new_state = _lm_step(
-                state, data, jnp.asarray(lam, dtype=dtype), ni=ni, nr=nr, nc=nc,
-                **step_statics,
-            )
-            new_cost = float(_total_cost(new_state, data, **statics))
-            if np.isfinite(new_cost) and new_cost < cost:
-                rel = (cost - new_cost) / max(cost, 1e-30)
-                state = new_state
-                cost = new_cost
-                lam = max(lam / 3.0, 1e-12)
-                accepted = True
-                break
-            lam = min(lam * 10.0, 1e8)
-        iters_done = it + 1
-        if not accepted:
-            break
-        if accepted and rel < tol:
-            break
+    # ONE device program for the whole damping loop: the per-trial host
+    # float() syncs of the old loop cost more than the math on a tunneled
+    # TPU (see _lm_solve).
+    state, cost0, cost1, lam1, accepted = _lm_solve(
+        state, data, jnp.asarray(initial_lambda, dtype=dtype),
+        jnp.asarray(tol, dtype=dtype), ni=ni, nr=nr, nc=nc,
+        max_iterations=int(max_iterations), **step_statics,
+    )
+    initial_cost = float(cost0)
+    cost = float(cost1)
+    lam = float(lam1)
+    iters_done = int(accepted)
 
     covariances = None
     covariance_valid = False
