@@ -1050,20 +1050,25 @@ def _lm_step(state, data, lam, ptype, loss, loss_threshold, pmax, ni, nr, nc,
     static_argnames=(
         "ptype", "loss", "loss_threshold", "pmax", "ni", "nr", "nc",
         "with_depth", "canonical", "rig_transform", "rig_jac", "dense",
-        "max_iterations",
     ),
 )
-def _lm_solve(state, data, lam0, tol, ptype, loss, loss_threshold, pmax,
-              ni, nr, nc, with_depth=False, canonical=False,
-              rig_transform=True, rig_jac=True, dense=False,
-              max_iterations=50):
+def _lm_solve(state, data, lam0, tol, max_iterations, ptype, loss,
+              loss_threshold, pmax, ni, nr, nc, with_depth=False,
+              canonical=False, rig_transform=True, rig_jac=True,
+              dense=False):
     """Whole LM solve as ONE device program (lax.while_loop).
 
     The host damping loop costs 2+ host<->device round-trips per trial (the
     `float(cost)` sync); on a tunneled TPU that dwarfs the math.  This runs
     the identical trial sequence device-side: accept when the cost drops,
     lam /= 3 on accept, lam *= 10 on reject, stop after 8 consecutive
-    rejects, `rel < tol`, or `max_iterations` accepted steps."""
+    rejects, `rel < tol`, or `max_iterations` accepted steps.
+
+    `max_iterations` is a DYNAMIC operand: each distinct shape bucket
+    compiles one program regardless of the caller's iteration budget (a
+    cold-cache compile costs minutes on a tunneled TPU, and the growth
+    loop mixes 10/20/50-iteration bundles over the same shapes)."""
+    max_iterations = jnp.asarray(max_iterations, jnp.int32)
     dtype = state[3].dtype
     kw = dict(
         ptype=ptype, loss=loss, loss_threshold=loss_threshold, pmax=pmax,
@@ -1075,6 +1080,7 @@ def _lm_solve(state, data, lam0, tol, ptype, loss, loss_threshold, pmax,
     def cond(carry):
         _, _, _, rejects, accepted, done, trials = carry
         return (~done) & (trials < 8 * max_iterations)
+
 
     def body(carry):
         st, cost, lam, rejects, accepted, done, trials = carry
@@ -1338,8 +1344,8 @@ def bundle_adjust(
     # TPU (see _lm_solve).
     state, cost0, cost1, lam1, accepted = _lm_solve(
         state, data, jnp.asarray(initial_lambda, dtype=dtype),
-        jnp.asarray(tol, dtype=dtype), ni=ni, nr=nr, nc=nc,
-        max_iterations=int(max_iterations), **step_statics,
+        jnp.asarray(tol, dtype=dtype), int(max_iterations),
+        ni=ni, nr=nr, nc=nc, **step_statics,
     )
     initial_cost = float(cost0)
     cost = float(cost1)

@@ -190,15 +190,19 @@ class _Builder:
         # All dimensions are padded to power-of-two buckets so that the jitted
         # LM kernels are shared across the growth loop (padding routes to the
         # trash column / zero-weight rows).
-        def p2(n: int) -> int:
-            return max(1, 1 << int(max(n, 1) - 1).bit_length())
+        def p2(n: int, floor: int = 1) -> int:
+            return max(floor, 1 << int(max(n, 1) - 1).bit_length())
 
         cfg = self.config
         rec = self.rec
-        ni = p2(len(self.inst_ids))
+        # Floors collapse the early-growth bucket spectrum: without them the
+        # incremental loop compiles a fresh program at ni = 2, 4, 8, ...
+        # (each costing tens of seconds of XLA compile on a tunneled TPU);
+        # padding a 2-shot problem to 8 slots costs nothing at runtime.
+        ni = p2(len(self.inst_ids), floor=8)
         nr = p2(len(self.rigcam_ids))
         nc = p2(len(self.cam_ids))
-        npts = p2(len(self.point_ids))
+        npts = p2(len(self.point_ids), floor=512)
 
         used_types = sorted(
             {rec.cameras[cid].projection_type for cid in self.cam_ids} or
@@ -244,7 +248,7 @@ class _Builder:
         # Observations, grouped by projection type for static segments.
         order = sorted(range(len(self.obs)), key=lambda k: self.obs[k][6])
         n_obs = len(self.obs)
-        O = p2(n_obs)
+        O = p2(n_obs, floor=2048)
         obs_uv = np.zeros((O, 2))
         obs_inv_sd = np.zeros(O)
         obs_point = np.zeros(O, dtype=np.int64)
@@ -281,7 +285,7 @@ class _Builder:
         track_lens = np.zeros(npts, dtype=np.int64)
         for rank in range(n_obs):
             track_lens[obs_point[rank]] += 1
-        T = p2(int(track_lens.max()) if n_obs else 1)
+        T = p2(int(track_lens.max()) if n_obs else 1, floor=8)
         point_obs = np.full((npts, T), O, dtype=np.int64)
         slot = np.zeros(npts, dtype=np.int64)
         for rank in range(n_obs):

@@ -626,8 +626,10 @@ def triangulate_tracks(
 
     n = len(kept_tracks)
     t_max = max(len(o) for o in track_obs)
-    n_pad = _next_pow2(n)
-    t_pad = _next_pow2(t_max)
+    # Bucket floors bound the number of distinct compiled programs the
+    # growth loop can trigger (each costs tens of seconds cold on TPU).
+    n_pad = max(_next_pow2(n), 512)
+    t_pad = max(_next_pow2(t_max), 8)
 
     origins = np.zeros((n_pad, t_pad, 3))
     bearings = np.zeros((n_pad, t_pad, 3))
