@@ -621,6 +621,24 @@ def _build_reduced_system(state, data, lam, ptype, loss, loss_threshold,
     if dense:
         assert canonical and not rig_jac and nc == 1
 
+    # TPU fast path 2: ONE Pallas kernel computes residuals, Jacobians,
+    # per-point inverses AND every reduced-system contribution in VMEM
+    # (ops/pallas_kernels/ba_assemble.py) — the XLA schedule of the same
+    # assembly spends ~2 ms/iter on [O,·] relayout copies and staging.
+    if (
+        dense
+        and ptype == "perspective"
+        and not rig_transform
+        and not with_depth
+        and pmax == 3
+        and ni <= 64
+        and dtype == jnp.float32
+        and np_pts % 128 == 0
+        and jax.default_backend() == "tpu"
+    ):
+        return _build_reduced_system_fused(
+            state, data, lam, loss, loss_threshold, ni, nr, nc, pmax)
+
     r, Jc, Jp, _ = _residual_data(
         state, data, ptype, loss, loss_threshold, pmax, with_depth,
         rig_transform=rig_transform, rig_jac=rig_jac, canonical=canonical,
@@ -868,6 +886,31 @@ def _build_reduced_system(state, data, lam, ptype, loss, loss_threshold,
            else jnp.zeros(nr * 6, dtype=dtype))
     b_c = rhs("c", E_c, Jc_pt, nc, pmax)
 
+    S, b = _assemble_S(
+        state, data, lam, S_II, S_RR, S_IR, S_RC, S_IC, S_CC,
+        b_i, b_r, b_c, ni, nr, nc, pmax, rig_jac=rig_jac,
+    )
+    back = dict(
+        Ji=Ji, Jr=Jr if rig_jac else None, Jcam=Jcam, Jp_pt=Jp_pt,
+        Hpp_inv=Hpp_inv, bp=bp,
+        obs_inst=data["obs_inst"], obs_rigcam=data["obs_rigcam"],
+        obs_cam=data["obs_cam"], padded=padded, dense=dense,
+        Ei_f=Ei_f, Er_f=Er_f if rig_jac else None, Ec_f=Ec_f,
+    )
+    return S, b, back
+
+
+def _assemble_S(state, data, lam, S_II, S_RR, S_IR, S_RC, S_IC, S_CC,
+                b_i, b_r, b_c, ni, nr, nc, pmax, rig_jac):
+    """Shared epilogue: prior families + block assembly + identity rows +
+    damping + symmetrization (used by both the XLA and the fused-Pallas
+    reduced-system builders)."""
+    dtype = state[3].dtype
+
+    def expand_diag(D, n_blk, bdim):
+        eye_n = jnp.eye(n_blk, dtype=dtype)
+        return jnp.einsum("axy,ab->axby", D, eye_n)
+
     # --- priors (small dense additions on the diagonal block families) -----
     for pr, pJ, kind in _prior_residuals(state, data):
         if kind == "inst":
@@ -952,14 +995,84 @@ def _build_reduced_system(state, data, lam, ptype, loss, loss_threshold,
     diag_S = jnp.diagonal(S)
     S = S + jnp.diag(lam * diag_S + 1e-12)
     S = 0.5 * (S + S.T)
-    back = dict(
-        Ji=Ji, Jr=Jr if rig_jac else None, Jcam=Jcam, Jp_pt=Jp_pt,
-        Hpp_inv=Hpp_inv, bp=bp,
-        obs_inst=data["obs_inst"], obs_rigcam=data["obs_rigcam"],
-        obs_cam=data["obs_cam"], padded=padded, dense=dense,
-        Ei_f=Ei_f, Er_f=Er_f if rig_jac else None, Ec_f=Ec_f,
+    return S, b
+
+
+def _build_reduced_system_fused(state, data, lam, loss, loss_threshold,
+                                ni, nr, nc, pmax):
+    """Assemble (S, b, back) from the fused Pallas kernel's raw outputs.
+
+    The kernel returns the Schur product in (x,a)-major row order plus the
+    per-lane direct/RHS partials; this epilogue only reorders tiny [NI·6]^2
+    blocks, adds the prior families and applies the damping/identity rows —
+    all O(NI^2) work."""
+    from opensfm_tpu.ops.pallas_kernels.ba_assemble import (
+        fused_schur_assembly,
     )
-    return S, b, back
+
+    inst, rigcam, cam, points = state
+    np_pts = points.shape[0]
+    dtype = points.dtype
+    ni6 = ni * 6
+
+    out_obs, out_pt, sII_xa, aux = fused_schur_assembly(
+        inst, cam, points, data["obs_uv"], data["obs_inv_sd"],
+        data["opt_inst"], data["opt_cam"], data["opt_points"],
+        data["point_prior"], data["point_prior_inv_sd"], lam,
+        loss=loss, loss_threshold=float(loss_threshold), ni=ni,
+    )
+
+    # Schur II: rows/cols are (x, a); reorder to (a, x).
+    schur_II = sII_xa.reshape(6, ni, 6, ni).transpose(1, 0, 3, 2)
+    # Direct families from the aux partials.
+    direct_II = aux[0:36].reshape(6, 6, ni).transpose(2, 0, 1)  # [ni,6,6]
+    direct_IC = aux[36:54].reshape(6, 3, ni).transpose(2, 0, 1)  # [ni,6,3]
+    tri_idx = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+    cc_d = jnp.sum(aux[54:60], axis=1)       # [6] upper-tri direct
+    cc_s = aux[90:96, 0]                     # [6] upper-tri schur
+    schur_IC = aux[60:78].reshape(6, 3, ni).transpose(2, 0, 1)
+    b_i = aux[78:84].T.reshape(ni6)          # [ni*6] (a-major)
+    b_c3 = jnp.sum(aux[84:87], axis=1) - aux[87:90, 0]
+
+    eye_n = jnp.eye(ni, dtype=dtype)
+    S_II = (
+        jnp.einsum("axy,ab->axby", direct_II, eye_n) - schur_II
+    )
+    S_IC = (direct_IC - schur_IC)[:, :, None, :]  # [ni,6,1,3]
+    vals = cc_d - cc_s
+    iu = jnp.array([t[0] for t in tri_idx])
+    ju = jnp.array([t[1] for t in tri_idx])
+    S_CC = (
+        jnp.zeros((3, 3), dtype=dtype).at[iu, ju].set(vals)
+        .at[ju, iu].set(vals)
+    )[None, :, None, :]
+    S_RR = jnp.zeros((nr, 6, nr, 6), dtype=dtype)
+    S_IR = jnp.zeros((ni, 6, nr, 6), dtype=dtype)
+    S_RC = jnp.zeros((nr, 6, nc, pmax), dtype=dtype)
+    b_r = jnp.zeros(nr * 6, dtype=dtype)
+    b_c = b_c3
+
+    # Per-point data for back-substitution.
+    hi = out_pt[:, 0:6]
+    Hpp_inv = jnp.stack(
+        [hi[:, 0], hi[:, 1], hi[:, 2],
+         hi[:, 1], hi[:, 3], hi[:, 4],
+         hi[:, 2], hi[:, 4], hi[:, 5]], axis=1,
+    ).reshape(np_pts, 3, 3)
+    bp = out_pt[:, 6:9]
+
+    back = dict(
+        fused_rows=out_obs,  # [32, NP, NI]
+        Hpp_inv=Hpp_inv, bp=bp, dense=True,
+        Ji=None, Jr=None, Jcam=None, Jp_pt=None,
+        obs_inst=data["obs_inst"], obs_rigcam=data["obs_rigcam"],
+        obs_cam=data["obs_cam"], padded=None,
+        Ei_f=None, Er_f=None, Ec_f=None,
+    )
+    return _assemble_S(
+        state, data, lam, S_II, S_RR, S_IR, S_RC, S_IC, S_CC,
+        b_i, b_r, b_c, ni, nr, nc, pmax, rig_jac=False,
+    ) + (back,)
 
 
 @partial(
@@ -997,6 +1110,34 @@ def _lm_step(state, data, lam, ptype, loss, loss_threshold, pmax, ni, nr, nc,
     # — one elementwise pass over the already-materialized Jacobians instead
     # of the [NP, T, bdim, 3] G tensors (which would otherwise be kept alive
     # or rematerialized across the Cholesky solve).
+    if back.get("fused_rows") is not None:
+        # Fused-kernel path: consume the feature-major [32, NP, NI] rows
+        # directly — no [O, 2, x] relayouts. Rows 2+j / 14+j hold the two
+        # residual components of Jacobian direction j (0-5 pose, 6-8 cam,
+        # 9-11 point).
+        rows = back["fused_rows"]
+        dxi_l = dx_i.T[:, None, :]  # [6, 1, NI] broadcast over points
+        dxc_l = dx_cam[0]  # [3]
+        tmp0 = sum(rows[2 + x] * dxi_l[x] for x in range(6)) + sum(
+            rows[8 + y] * dxc_l[y] for y in range(3)
+        )
+        tmp1 = sum(rows[14 + x] * dxi_l[x] for x in range(6)) + sum(
+            rows[20 + y] * dxc_l[y] for y in range(3)
+        )
+        u = jnp.stack(
+            [
+                jnp.sum(rows[11 + j] * tmp0 + rows[23 + j] * tmp1, axis=1)
+                for j in range(3)
+            ],
+            axis=1,
+        )  # [NP, 3]
+        dx_p = jnp.sum(Hpp_inv * (bp - u)[:, None, :], axis=-1)
+        return (
+            inst - dx_i,
+            rigcam - dx_r,
+            cam - dx_cam,
+            points - dx_p,
+        )
     num_obs = back["Ji"].shape[0]
     if back["dense"]:
         # slot == instance: the per-obs dx rows are a pure broadcast.

@@ -1,0 +1,364 @@
+"""Fully-fused Schur-assembly Pallas kernel (dense mono BA fast path).
+
+One kernel computes, per grid block of points, everything
+`lm._build_reduced_system` needs for the dense instance-slot layout
+(slot == instance, perspective camera, identity rig, one camera):
+
+- whitened residuals + all 12 Jacobian columns (as `ba_resjac`),
+- per-point 3x3 Hessians, their closed-form inverses, `bp`, `Hib`,
+- the Schur products  S_II -= sum_p Aa_p Ga_p',  S_IC -= Aa Vg',
+  S_CC -= Ug Vg'  accumulated in VMEM across the sequential grid,
+- all direct (same-observation) block contributions and both RHS families.
+
+Everything the XLA schedule of the same math materializes in HBM
+([O,2,6]-style tensors, their relayout copies and VMEM staging — measured
+~2 ms/LM-iteration at O=524k on v5e) stays in VMEM here; HBM traffic is
+one read of the packed inputs plus the [32, O] observation rows kept for
+back-substitution.
+
+Layout: every per-observation quantity is a [PB, NI] tile (points on
+sublanes, instances on lanes — the dense layout makes the instance
+selector the identity, so "lane index == reduced-system block index").
+Per-point scalars are [PB, 1] columns; cross-point accumulators live in
+VMEM scratch and are flushed on the last grid step.
+
+Math mirrors lm._residual_data / lm._build_reduced_system (reference
+semantics: ReprojectionError2D + Ceres robust losses,
+bundle/src/bundle_adjuster.cc:595-1121).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from opensfm_tpu.ops.pallas_kernels.ba_resjac import _chain
+
+PB = 128  # points per grid step (sublanes)
+# Typed zero for index maps: a bare Python 0 lowers to an i64 constant under
+# x64, which Mosaic rejects in the block index transform.
+_Z = np.int32(0)
+
+# out_obs rows (identical to ba_resjac's [N_OUT, O] layout so the
+# back-substitution / cost consumers are shared):
+#   0-1   e0, e1 (whitened, sqrt-IRLS-weighted)
+#   2-13  d0 of the 12 pushes, 14-25 d1, 26 robust cost
+N_OUT_OBS = 32
+# out_point rows: 0-5 Hpp_inv (xx,xy,xz,yy,yz,zz), 6-8 bp, 9-11 Hib
+N_OUT_PT = 16
+
+
+def _sym3_inv(h_xx, h_xy, h_xz, h_yy, h_yz, h_zz):
+    """Closed-form inverse of a symmetric 3x3 given its 6 entries."""
+    c_xx = h_yy * h_zz - h_yz * h_yz
+    c_xy = h_xz * h_yz - h_xy * h_zz
+    c_xz = h_xy * h_yz - h_xz * h_yy
+    c_yy = h_xx * h_zz - h_xz * h_xz
+    c_yz = h_xy * h_xz - h_xx * h_yz
+    c_zz = h_xx * h_yy - h_xy * h_xy
+    det = h_xx * c_xx + h_xy * c_xy + h_xz * c_xz
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1.0, det)
+    inv_det = jnp.where(jnp.abs(det) < 1e-30, 0.0, inv_det)
+    return (c_xx * inv_det, c_xy * inv_det, c_xz * inv_det,
+            c_yy * inv_det, c_yz * inv_det, c_zz * inv_det)
+
+
+def _make_kernel(loss: str, loss_threshold: float, ni: int, n_blocks: int):
+    from opensfm_tpu.ba.lm import LOSSES
+
+    rho, drho = LOSSES[loss]
+    a2 = loss_threshold * loss_threshold
+    ni6 = ni * 6
+
+    def kernel(
+        # inputs (blocked): obs tiles [PB, NI]; per-point tiles [PB, 1];
+        # small replicated tables.
+        u_ref, v_ref, isd_ref,              # [PB, NI]
+        xr0_ref, xr1_ref, xr2_ref,          # [PB, NI] point coords (repeated)
+        inst_ref,                           # [8, NI]: w0..w2 t0..t2, opt, pad
+        cam_ref,                            # [1, 8]: k1 k2 f lam opt0 opt1 opt2
+        optp_ref, ppr0_ref, ppr1_ref, ppr2_ref,  # [PB, 1]
+        ppw0_ref, ppw1_ref, ppw2_ref,       # [PB, 1]
+        # outputs
+        out_obs_ref,                        # [N_OUT_OBS, PB, NI]
+        out_pt_ref,                         # [N_OUT_PT, PB]
+        out_sII_ref,                        # [ni6, ni6]   (x-major: row x*NI+a)
+        out_aux_ref,                        # [96, NI]
+        # scratch
+        sII_acc, aux_acc, cat_a, cat_g,
+    ):
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _():
+            sII_acc[:] = jnp.zeros_like(sII_acc)
+            aux_acc[:] = jnp.zeros_like(aux_acc)
+
+        one_row = inst_ref[0:1, :] * 0.0 + 1.0  # [1, NI] of ones
+        vals = (
+            inst_ref[0:1, :], inst_ref[1:2, :], inst_ref[2:3, :],
+            inst_ref[3:4, :], inst_ref[4:5, :], inst_ref[5:6, :],
+            cam_ref[0, 0] * one_row, cam_ref[0, 1] * one_row,
+            cam_ref[0, 2] * one_row,
+            xr0_ref[:], xr1_ref[:], xr2_ref[:],
+        )
+        # Broadcast [1,NI] pose rows against [PB,NI] point rows happens
+        # inside _chain's elementwise math.
+        (p0, p1), lin = jax.linearize(_chain, vals)
+        isd = isd_ref[:]
+        e0 = (p0 - u_ref[:]) * isd
+        e1 = (p1 - v_ref[:]) * isd
+
+        s = e0 * e0 + e1 * e1
+        cost = 0.5 * a2 * rho(s / a2)
+        sw = jnp.sqrt(jnp.maximum(drho(s / a2), 1e-12))
+        scale = isd * sw
+
+        out_obs_ref[0] = e0 * sw
+        out_obs_ref[1] = e1 * sw
+        out_obs_ref[26] = cost
+
+        J0 = []
+        J1 = []
+        opt_i = inst_ref[6:7, :]           # [1, NI] 0/1
+        opt_c = (cam_ref[0, 4], cam_ref[0, 5], cam_ref[0, 6])
+        optp = optp_ref[:]                 # [PB, 1]
+        for jdir in range(12):
+            tang = tuple(
+                jnp.ones_like(vals[i]) if i == jdir
+                else jnp.zeros_like(vals[i])
+                for i in range(12)
+            )
+            d0, d1 = lin(tang)
+            d0 = d0 * scale
+            d1 = d1 * scale
+            out_obs_ref[2 + jdir] = d0
+            out_obs_ref[14 + jdir] = d1
+            # Optimization masks for the assembly-side copies.
+            if jdir < 6:
+                d0 = d0 * opt_i
+                d1 = d1 * opt_i
+            elif jdir < 9:
+                d0 = d0 * opt_c[jdir - 6]
+                d1 = d1 * opt_c[jdir - 6]
+            else:
+                d0 = d0 * optp
+                d1 = d1 * optp
+            J0.append(d0)
+            J1.append(d1)
+        r0 = e0 * sw
+        r1 = e1 * sw
+        Jp0 = J0[9:12]
+        Jp1 = J1[9:12]
+
+        # ---- per-point 3x3 system (lane reductions) ------------------------
+        def psum(x):
+            return jnp.sum(x, axis=1, keepdims=True)  # [PB, 1]
+
+        lam = cam_ref[0, 3]
+        h = {}
+        for a_ in range(3):
+            for b_ in range(a_, 3):
+                h[(a_, b_)] = psum(Jp0[a_] * Jp0[b_] + Jp1[a_] * Jp1[b_])
+        bp = [psum(Jp0[j] * r0 + Jp1[j] * r1) for j in range(3)]
+        ppw = (ppw0_ref[:], ppw1_ref[:], ppw2_ref[:])
+        ppr = (ppr0_ref[:], ppr1_ref[:], ppr2_ref[:])
+        for j in range(3):
+            h[(j, j)] = h[(j, j)] + ppw[j] * ppw[j]
+            bp[j] = bp[j] + ppr[j] * ppw[j]
+        for j in range(3):
+            h[(j, j)] = h[(j, j)] * (1.0 + lam) + 1e-12
+        hi = _sym3_inv(h[(0, 0)], h[(0, 1)], h[(0, 2)],
+                       h[(1, 1)], h[(1, 2)], h[(2, 2)])
+        hi = tuple(x * optp for x in hi)
+        hinv = {
+            (0, 0): hi[0], (0, 1): hi[1], (0, 2): hi[2],
+            (1, 0): hi[1], (1, 1): hi[3], (1, 2): hi[4],
+            (2, 0): hi[2], (2, 1): hi[4], (2, 2): hi[5],
+        }
+        hib = [sum(hinv[(j, k)] * bp[k] for k in range(3)) for j in range(3)]
+
+        for j in range(6):
+            out_pt_ref[:, j:j + 1] = hi[j]
+        for j in range(3):
+            out_pt_ref[:, 6 + j:7 + j] = bp[j]
+            out_pt_ref[:, 9 + j:10 + j] = hib[j]
+        out_pt_ref[:, 12:16] = jnp.zeros_like(out_pt_ref[:, 12:16])
+
+        # ---- i-family couplings -------------------------------------------
+        # Ga[x][j] = sum_k Ji_kx Jp_kj per obs; Aa = Ga Hinv per point.
+        Ga = [[J0[x] * Jp0[j] + J1[x] * Jp1[j] for j in range(3)]
+              for x in range(6)]
+        Aa = [[sum(Ga[x][j] * hinv[(j, k)] for j in range(3))
+               for k in range(3)] for x in range(6)]
+        # c-family per point: Vg[y][j] = sum_{k,t} Jc_ky Jp_kj  -> [PB,1]
+        Jc0 = J0[6:9]
+        Jc1 = J1[6:9]
+        Vg = [[psum(Jc0[y] * Jp0[j] + Jc1[y] * Jp1[j]) for j in range(3)]
+              for y in range(3)]
+        Ug = [[sum(Vg[y][j] * hinv[(j, k)] for j in range(3))
+               for k in range(3)] for y in range(3)]
+
+        # ---- Schur II via per-k matmuls ------------------------------------
+        # cat_a/cat_g: [PB, 6*NI], lane block x holds A/G_xk.
+        for k in range(3):
+            for x in range(6):
+                cat_a[:, x * ni:(x + 1) * ni] = Aa[x][k]
+                cat_g[:, x * ni:(x + 1) * ni] = Ga[x][k]
+            sII_acc[:] = sII_acc[:] + jax.lax.dot_general(
+                cat_a[:], cat_g[:], dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        # ---- direct + RHS partials (aux rows, [*, NI]) ---------------------
+        def lsum(x):
+            return jnp.sum(x, axis=0, keepdims=True)  # [1, NI]
+
+        aux = aux_acc
+        # rows 0-35: direct_II (x*6+y) = sum_{p,k} Ji_kx Ji_ky
+        for x in range(6):
+            for y in range(6):
+                aux[x * 6 + y:x * 6 + y + 1, :] += lsum(
+                    J0[x] * J0[y] + J1[x] * J1[y])
+        # rows 36-53: direct_IC (x*3+y) = sum_{p,k} Ji_kx Jc_ky
+        for x in range(6):
+            for y in range(3):
+                aux[36 + x * 3 + y:37 + x * 3 + y, :] += lsum(
+                    J0[x] * Jc0[y] + J1[x] * Jc1[y])
+        # rows 54-59: direct_CC (6 upper entries, lane partials)
+        idx = 54
+        for x in range(3):
+            for y in range(x, 3):
+                aux[idx:idx + 1, :] += lsum(Jc0[x] * Jc0[y] + Jc1[x] * Jc1[y])
+                idx += 1
+        # rows 60-77: schur_IC (x*3+y) = sum_{p,k} Aa_xk Vg_yk (lane partials)
+        for x in range(6):
+            for y in range(3):
+                acc = None
+                for k in range(3):
+                    t = Aa[x][k] * Vg[y][k]
+                    acc = t if acc is None else acc + t
+                aux[60 + x * 3 + y:61 + x * 3 + y, :] += lsum(acc)
+        # rows 78-83: b_i = sum_p [ Ji'r  -  Ga Hib ]
+        for x in range(6):
+            direct = J0[x] * r0 + J1[x] * r1
+            gsch = sum(Ga[x][j] * hib[j] for j in range(3))
+            aux[78 + x:79 + x, :] += lsum(direct - gsch)
+        # rows 84-86: b_c direct = sum_{p,k} Jc'r (lane partials)
+        for y in range(3):
+            aux[84 + y:85 + y, :] += lsum(Jc0[y] * r0 + Jc1[y] * r1)
+        # rows 87-89: b_c schur = sum_p Vg Hib (scalar; lane partials of
+        # [PB,1] broadcast are NI identical copies -> divide by NI later? no:
+        # psum gave [PB,1]; lsum of [PB,1] broadcast to [PB,NI] would
+        # multiply by NI. Store into lane 0 only via explicit [1,1] adds.
+        for y in range(3):
+            val = jnp.sum(sum(Vg[y][j] * hib[j] for j in range(3)))
+            aux[87 + y:88 + y, 0:1] += val
+        # rows 90-95: schur_CC (6 upper entries) = sum_p Ug Vg'
+        idx = 90
+        for x in range(3):
+            for y in range(x, 3):
+                val = jnp.sum(sum(Ug[x][k] * Vg[y][k] for k in range(3)))
+                aux[idx:idx + 1, 0:1] += val
+                idx += 1
+
+        @pl.when(step == n_blocks - 1)
+        def _():
+            out_sII_ref[:] = sII_acc[:]
+            out_aux_ref[:] = aux_acc[:]
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("loss", "loss_threshold", "ni", "interpret"),
+)
+def fused_schur_assembly(
+    inst, cam, points, obs_uv, obs_inv_sd, opt_inst, opt_cam, opt_points,
+    point_prior, point_prior_inv_sd, lam,
+    loss: str, loss_threshold: float, ni: int, interpret: bool = False,
+):
+    """Run the fused assembly. Shapes: inst [NI,6], cam [1,>=3],
+    points [NP,3], obs_uv [NP*NI,2], obs_inv_sd [NP*NI] in the dense
+    instance-slot layout. Returns (out_obs [32, NP*NI], out_pt [NP, 16],
+    sII_schur [ni6, ni6] in (x,a) row ordering, aux [96, NI])."""
+    NP = points.shape[0]
+    assert NP % PB == 0, NP
+    n_blocks = NP // PB
+    dtype = jnp.float32
+
+    u = obs_uv[:, 0].reshape(NP, ni).astype(dtype)
+    v = obs_uv[:, 1].reshape(NP, ni).astype(dtype)
+    isd = obs_inv_sd.reshape(NP, ni).astype(dtype)
+    xr = [
+        jnp.broadcast_to(points[:, j:j + 1].astype(dtype), (NP, ni))
+        for j in range(3)
+    ]
+    inst_t = jnp.concatenate(
+        [inst[:, :6].T.astype(dtype), opt_inst.astype(dtype)[None],
+         jnp.zeros((1, ni), dtype)], axis=0,
+    )  # [8, NI]
+    cam_row = jnp.concatenate([
+        cam[0, :3].astype(dtype), jnp.asarray(lam, dtype)[None],
+        opt_cam[0, :3].astype(dtype), jnp.zeros((1,), dtype),
+    ])[None]  # [1, 8]
+    optp = opt_points.astype(dtype)[:, None]
+    ppr = (points - point_prior).astype(dtype) * point_prior_inv_sd.astype(dtype)
+    ppw = point_prior_inv_sd.astype(dtype)
+
+    ni6 = ni * 6
+    obs_spec = pl.BlockSpec((PB, ni), lambda i: (i, _Z),
+                            memory_space=pltpu.VMEM)
+    pt_spec = pl.BlockSpec((PB, 1), lambda i: (i, _Z),
+                           memory_space=pltpu.VMEM)
+    rep_spec = pl.BlockSpec((8, ni), lambda i: (_Z, _Z),
+                            memory_space=pltpu.VMEM)
+    cam_spec = pl.BlockSpec((1, 8), lambda i: (_Z, _Z),
+                            memory_space=pltpu.SMEM)
+
+    out = pl.pallas_call(
+        _make_kernel(loss, float(loss_threshold), ni, n_blocks),
+        grid=(n_blocks,),
+        in_specs=[
+            obs_spec, obs_spec, obs_spec,        # u, v, isd
+            obs_spec, obs_spec, obs_spec,        # xr0..2
+            rep_spec, cam_spec,
+            pt_spec, pt_spec, pt_spec, pt_spec,  # optp, ppr0..2
+            pt_spec, pt_spec, pt_spec,           # ppw0..2
+        ],
+        out_specs=[
+            pl.BlockSpec((N_OUT_OBS, PB, ni), lambda i: (_Z, i, _Z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((PB, N_OUT_PT), lambda i: (i, _Z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ni6, ni6), lambda i: (_Z, _Z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((96, ni), lambda i: (_Z, _Z),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N_OUT_OBS, NP, ni), dtype),
+            jax.ShapeDtypeStruct((NP, N_OUT_PT), dtype),
+            jax.ShapeDtypeStruct((ni6, ni6), dtype),
+            jax.ShapeDtypeStruct((96, ni), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((ni6, ni6), dtype),
+            pltpu.VMEM((96, ni), dtype),
+            pltpu.VMEM((PB, ni6), dtype),
+            pltpu.VMEM((PB, ni6), dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(u, v, isd, xr[0], xr[1], xr[2], inst_t, cam_row,
+      optp, ppr[:, 0:1], ppr[:, 1:2], ppr[:, 2:3],
+      ppw[:, 0:1], ppw[:, 1:2], ppw[:, 2:3])
+    return out

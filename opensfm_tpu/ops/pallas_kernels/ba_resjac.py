@@ -33,6 +33,9 @@ from jax.experimental.pallas import tpu as pltpu
 N_IN = 16  # input rows (15 used, padded to a multiple of 8)
 N_OUT = 32  # output rows (27 used)
 TILE = 4096
+# Typed zero for index maps: a bare Python 0 lowers to an i64 constant under
+# x64, which Mosaic rejects in the block index transform.
+_Z = np.int32(0)
 
 _EPS2 = 1e-14
 
@@ -157,10 +160,10 @@ def fused_residual_jacobian(
         out_shape=jax.ShapeDtypeStruct((N_OUT, O_pad), dtype),
         grid=(O_pad // TILE,),
         in_specs=[
-            pl.BlockSpec((N_IN, TILE), lambda i: (0, i),
+            pl.BlockSpec((N_IN, TILE), lambda i: (_Z, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((N_OUT, TILE), lambda i: (0, i),
+        out_specs=pl.BlockSpec((N_OUT, TILE), lambda i: (_Z, i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(inp)

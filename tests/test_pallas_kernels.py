@@ -143,3 +143,69 @@ def test_ba_resjac_kernel_matches_lm(loss) -> None:
                                rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(cost), np.asarray(cost_ref),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_fused_schur_assembly_matches_xla_dense():
+    """The fused assembly kernel (interpret mode) must reproduce the XLA
+    dense-path reduced system (S, b) including opt masks and point priors."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from opensfm_tpu.ba import lm
+    from opensfm_tpu.ops.pallas_kernels import ba_assemble
+
+    ni, np_pts = 8, 256
+    rng = np.random.default_rng(0)
+    from __graft_entry__ import _make_problem
+
+    problem, dense = lm.canonicalize_problem_dense(
+        _make_problem(n_shots=ni, n_points=np_pts, seed=4)
+    )
+    assert dense
+    problem.opt_inst[0] = False
+    problem.opt_points[:7] = False
+    problem.point_prior_inv_sd[3:5] = 2.0
+    nr, nc = len(problem.rigcam), len(problem.cam)
+    pmax = problem.cam.shape[1]
+    dt = jnp.float32
+    st = tuple(
+        jnp.asarray(getattr(problem, k), dt)
+        for k in ("inst", "rigcam", "cam", "points")
+    )
+    ints = ("obs_point", "obs_inst", "obs_rigcam", "obs_cam", "point_obs")
+    bools = ("cam_log_mask", "opt_inst", "opt_rigcam", "opt_cam", "opt_points")
+    d = {}
+    for name in (
+        "obs_uv", "obs_inv_sd", "obs_point", "obs_inst", "obs_rigcam",
+        "obs_cam", "point_obs", "gps_pos", "gps_inv_sd", "cam_prior",
+        "cam_prior_inv_sd", "cam_log_mask", "rigcam_prior",
+        "rigcam_prior_inv_sd", "point_prior", "point_prior_inv_sd",
+        "opt_inst", "opt_rigcam", "opt_cam", "opt_points",
+    ):
+        arr = getattr(problem, name)
+        d[name] = jnp.asarray(
+            arr, jnp.int32 if name in ints else bool if name in bools else dt
+        )
+    lam = jnp.asarray(1e-3, dt)
+
+    S1, b1, _ = lm._build_reduced_system(
+        st, d, lam, "perspective", "SoftLOneLoss", 1.0, pmax, ni, nr, nc,
+        False, True, False, False, True,
+    )
+    orig = ba_assemble.fused_schur_assembly
+    try:
+        ba_assemble.fused_schur_assembly = functools.partial(
+            orig, interpret=True
+        )
+        S2, b2, back = lm._build_reduced_system_fused(
+            st, d, lam, "SoftLOneLoss", 1.0, ni, nr, nc, pmax
+        )
+    finally:
+        ba_assemble.fused_schur_assembly = orig
+    S1, b1, S2, b2 = map(np.asarray, (S1, b1, S2, b2))
+    assert np.abs(S1 - S2).max() / np.abs(S1).max() < 1e-4
+    assert np.abs(b1 - b2).max() / (np.abs(b1).max() + 1e-12) < 1e-4
+    assert np.isfinite(np.asarray(back["Hpp_inv"])).all()
