@@ -229,11 +229,19 @@ def extract_features_dog(
     (extract_features_sift, features.py:372-406)."""
     from opensfm_tpu.ops.features import extract_dog_features
 
+    # Root+uchar on-device (uint8 descriptors come back 4x smaller).
+    root_uchar = bool(
+        config.get("feature_root")
+        and config.get("hahog_normalize_to_uchar")
+        and str(config.get("feature_type", "HAHOG")).upper()
+        in ("HAHOG", "SIFT")
+    )
     peak = float(config.get("sift_peak_threshold", 0.1)) / 10.0
     min_peak = 0.0005
     while True:
         points, desc = extract_dog_features(
-            image_gray, peak_threshold=peak, target_features=features_count
+            image_gray, peak_threshold=peak, target_features=features_count,
+            root_uchar=root_uchar,
         )
         if len(points) >= features_count or peak <= min_peak:
             break
@@ -363,7 +371,11 @@ def extract_features(
             np.zeros((0, 3)), None,
         )
 
-    if config.get("feature_root") and feature_type in ("HAHOG", "SIFT", "SIFT_CV"):
+    if (
+        config.get("feature_root")
+        and feature_type in ("HAHOG", "SIFT", "SIFT_CV")
+        and desc.dtype != np.uint8  # already rooted+quantized on-device
+    ):
         desc = np.sqrt(np.maximum(desc, 0))
         # uchar quantization (extract_features_hahog, features.py:526-534).
         if feature_type in ("HAHOG", "SIFT") and config.get(

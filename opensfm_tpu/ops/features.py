@@ -98,21 +98,39 @@ def _minpool3(x: jnp.ndarray) -> jnp.ndarray:
 
 @partial(
     jax.jit,
-    static_argnames=("k_per_octave", "n_octaves", "edge_threshold"),
+    static_argnames=(
+        "k_per_octave", "n_octaves", "edge_threshold", "upsample",
+        "root_uchar",
+    ),
 )
 def detect_and_describe(
-    image: jnp.ndarray,  # [H, W] float32 grayscale in [0, 1]
+    image: jnp.ndarray,  # [H, W] grayscale: uint8 or float32 in [0, 1]
     peak_threshold: float,
     k_per_octave: int,
     n_octaves: int,
     edge_threshold: float = 10.0,
+    upsample: bool = False,
+    root_uchar: bool = False,
 ):
     """Detect DoG keypoints and compute 128-d descriptors.
 
     Returns (points[N, 4] (x_px, y_px, size_px, angle_deg in full-image
     pixel coords), descriptors[N, 128], valid[N]) with
     N = k_per_octave * n_octaves.
+
+    `upsample` doubles the image on-device (the standard SIFT -1 octave);
+    `root_uchar` applies the RootSIFT + x362 uchar quantization
+    (reference extract_features_hahog, features.py:526-534) on-device and
+    returns uint8 descriptors.  Together with uint8 input these cut the
+    host<->device traffic ~8x (uint8 image up, uint8 descriptors down).
     """
+    if image.dtype == jnp.uint8:
+        image = image.astype(jnp.float32) / 255.0
+    if upsample:
+        H0, W0 = image.shape
+        image = jax.image.resize(
+            image, (H0 * 2, W0 * 2), method="linear", antialias=False
+        )
     dtype = image.dtype
     sigma0 = 1.6
     k_step = 2.0 ** (1.0 / N_SCALES)
@@ -320,9 +338,17 @@ def detect_and_describe(
         # Next octave: downsample the 2x-blurred level.
         octave_img = gauss[N_SCALES][::2, ::2]
 
+    desc_all = jnp.concatenate(all_desc)
+    if root_uchar:
+        # RootSIFT + x362 uchar quantization, on-device (reference
+        # extract_features_hahog, features.py:526-534).
+        desc_all = jnp.sqrt(jnp.maximum(desc_all, 0.0))
+        desc_all = jnp.round(
+            jnp.clip(desc_all * 362.0, 0.0, 255.0)
+        ).astype(jnp.uint8)
     return (
         jnp.concatenate(all_pts),
-        jnp.concatenate(all_desc),
+        desc_all,
         jnp.concatenate(all_valid),
     )
 
@@ -332,34 +358,37 @@ def extract_dog_features(
     peak_threshold: float = 0.01,
     target_features: int = 4000,
     upsample: bool = True,
+    root_uchar: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Host wrapper: pad to a static bucket, run the jitted detector, strip
-    invalid keypoints.  Returns (points[N,4] pixel coords, desc[N,128]).
+    invalid keypoints.  Returns (points[N,4] pixel coords, desc[N,128];
+    uint8 descriptors when `root_uchar`).
 
-    `upsample` doubles the image first (standard SIFT -1 octave), roughly
-    tripling the number of fine-scale keypoints."""
-    import cv2
-
-    img = np.asarray(image_gray, dtype=np.float32)
-    if img.max() > 2.0:
-        img = img / 255.0
+    `upsample` doubles the image (standard SIFT -1 octave, done on-device),
+    roughly tripling the number of fine-scale keypoints.  The image ships
+    to the device as uint8 (4x less transfer than f32)."""
+    img = np.asarray(image_gray)
+    if img.dtype != np.uint8:
+        scale = 255.0 if img.max() <= 2.0 else 1.0
+        img = np.clip(img * scale, 0, 255).astype(np.uint8)
     H0, W0 = img.shape
     factor = 2.0 if upsample else 1.0
-    if upsample:
-        img = cv2.resize(img, (W0 * 2, H0 * 2), interpolation=cv2.INTER_LINEAR)
-    H, W = img.shape
-    # Pad to multiples of 128 so a few buckets serve all images.
-    H_pad = ((H + 127) // 128) * 128
-    W_pad = ((W + 127) // 128) * 128
-    padded = np.zeros((H_pad, W_pad), dtype=np.float32)
-    padded[:H, :W] = img
+    # Pad the base image so the (optionally doubled) size is a multiple of
+    # 128 — a few buckets serve all images.
+    mult = 64 if upsample else 128
+    H_pad = ((H0 + mult - 1) // mult) * mult
+    W_pad = ((W0 + mult - 1) // mult) * mult
+    padded = np.zeros((H_pad, W_pad), dtype=np.uint8)
+    padded[:H0, :W0] = img
+    H, W = int(H0 * factor), int(W0 * factor)
 
     n_octaves = max(int(np.log2(min(H, W) / 32)), 1)
     n_octaves = min(n_octaves, 6)
     k_per_octave = int(target_features * 3 // n_octaves)
 
     pts, desc, valid = detect_and_describe(
-        jnp.asarray(padded), float(peak_threshold), k_per_octave, n_octaves
+        jnp.asarray(padded), float(peak_threshold), k_per_octave, n_octaves,
+        upsample=upsample, root_uchar=root_uchar,
     )
     pts = np.asarray(pts)
     desc = np.asarray(desc)
