@@ -130,12 +130,9 @@ class FeaturesData:
         version = int(s[cls.FEATURES_HEADER]) if cls.FEATURES_HEADER in s else 0
         feature_type = str(config.get("feature_type", "HAHOG")).upper()
         descriptors = s["descriptors"] if "descriptors" in s else None
-        if (
-            descriptors is not None
-            and feature_type == "HAHOG"
-            and config.get("hahog_normalize_to_uchar")
-        ):
-            descriptors = descriptors.astype(np.float32)
+        # The reference upcasts uchar descriptors to f32 here for FLANN
+        # (features.py from_file); the exact MXU matcher uploads uint8 and
+        # upcasts on-device instead, so the quantized dtype is preserved.
         points = s["points"].astype(np.float64)
         colors = s["colors"] if "colors" in s else np.zeros((len(points), 3))
 

@@ -23,7 +23,10 @@ import numpy as np
 @jax.jit
 def _top2_sqdist(d1: jnp.ndarray, d2: jnp.ndarray, valid2: jnp.ndarray):
     """For each row of d1: indices and squared L2 distances of the two
-    nearest rows of d2.  d1 [N, D], d2 [M, D], valid2 [M]."""
+    nearest rows of d2.  d1 [N, D], d2 [M, D], valid2 [M].  uint8 inputs
+    (uchar-quantized descriptors) upcast on-device — 4x less transfer."""
+    d1 = d1.astype(jnp.float32)
+    d2 = d2.astype(jnp.float32)
     n1 = jnp.sum(d1 * d1, axis=1, keepdims=True)  # [N,1]
     n2 = jnp.sum(d2 * d2, axis=1)  # [M]
     dist = n1 + n2[None, :] - 2.0 * (d1 @ d2.T)
@@ -37,6 +40,8 @@ def _top2_sqdist_masked(
     d1: jnp.ndarray, d2: jnp.ndarray, valid2: jnp.ndarray, mask: jnp.ndarray
 ):
     """Masked variant: mask [N, M] marks allowed candidate pairs."""
+    d1 = d1.astype(jnp.float32)
+    d2 = d2.astype(jnp.float32)
     n1 = jnp.sum(d1 * d1, axis=1, keepdims=True)
     n2 = jnp.sum(d2 * d2, axis=1)
     dist = n1 + n2[None, :] - 2.0 * (d1 @ d2.T)

@@ -153,6 +153,10 @@ def top2_sqdist_pallas(d1, d2, n2, mask=None, interpret: bool = False):
     N, D = d1.shape
     M = d2.shape[0]
     assert N % TILE_N == 0 and M % TILE_M == 0, (N, M)
+    # uint8 descriptors (uchar quantization) upcast on-device: the host
+    # ships 4x fewer bytes, the kernel math stays f32.
+    d1 = d1.astype(jnp.float32)
+    d2 = d2.astype(jnp.float32)
     n_ntiles, n_mtiles = N // TILE_N, M // TILE_M
     n2_arr = jnp.asarray([n2], dtype=jnp.int32)
 
