@@ -596,7 +596,8 @@ def _shot_prior_residuals(state, data, raw=False):
 
 def _build_reduced_system(state, data, lam, ptype, loss, loss_threshold,
                           pmax, ni, nr, nc, with_depth, canonical=False,
-                          rig_transform=True, rig_jac=True, dense=False):
+                          rig_transform=True, rig_jac=True, dense=False,
+                          raw_blocks=False):
     """Assemble the Schur-reduced camera system.
 
     Scatter-free assembly (TPU scatters serialize): per-point structure
@@ -637,7 +638,8 @@ def _build_reduced_system(state, data, lam, ptype, loss, loss_threshold,
         and jax.default_backend() == "tpu"
     ):
         return _build_reduced_system_fused(
-            state, data, lam, loss, loss_threshold, ni, nr, nc, pmax)
+            state, data, lam, loss, loss_threshold, ni, nr, nc, pmax,
+            raw_blocks=raw_blocks)
 
     r, Jc, Jp, _ = _residual_data(
         state, data, ptype, loss, loss_threshold, pmax, with_depth,
@@ -886,16 +888,20 @@ def _build_reduced_system(state, data, lam, ptype, loss, loss_threshold,
            else jnp.zeros(nr * 6, dtype=dtype))
     b_c = rhs("c", E_c, Jc_pt, nc, pmax)
 
-    S, b = _assemble_S(
-        state, data, lam, S_II, S_RR, S_IR, S_RC, S_IC, S_CC,
-        b_i, b_r, b_c, ni, nr, nc, pmax, rig_jac=rig_jac,
-    )
     back = dict(
         Ji=Ji, Jr=Jr if rig_jac else None, Jcam=Jcam, Jp_pt=Jp_pt,
         Hpp_inv=Hpp_inv, bp=bp,
         obs_inst=data["obs_inst"], obs_rigcam=data["obs_rigcam"],
         obs_cam=data["obs_cam"], padded=padded, dense=dense,
         Ei_f=Ei_f, Er_f=Er_f if rig_jac else None, Ec_f=Ec_f,
+    )
+    blocks = (S_II, S_RR, S_IR, S_RC, S_IC, S_CC, b_i, b_r, b_c)
+    if raw_blocks:
+        # Distributed mode: the caller psums these block families across
+        # the mesh BEFORE the (replicated) priors/damping epilogue.
+        return blocks, back
+    S, b = _assemble_S(
+        state, data, lam, *blocks, ni, nr, nc, pmax, rig_jac=rig_jac,
     )
     return S, b, back
 
@@ -999,7 +1005,7 @@ def _assemble_S(state, data, lam, S_II, S_RR, S_IR, S_RC, S_IC, S_CC,
 
 
 def _build_reduced_system_fused(state, data, lam, loss, loss_threshold,
-                                ni, nr, nc, pmax):
+                                ni, nr, nc, pmax, raw_blocks=False):
     """Assemble (S, b, back) from the fused Pallas kernel's raw outputs.
 
     The kernel returns the Schur product in (x,a)-major row order plus the
@@ -1069,42 +1075,19 @@ def _build_reduced_system_fused(state, data, lam, loss, loss_threshold,
         obs_cam=data["obs_cam"], padded=None,
         Ei_f=None, Er_f=None, Ec_f=None,
     )
+    blocks = (S_II, S_RR, S_IR, S_RC, S_IC, S_CC, b_i, b_r, b_c)
+    if raw_blocks:
+        return blocks, back
     return _assemble_S(
-        state, data, lam, S_II, S_RR, S_IR, S_RC, S_IC, S_CC,
-        b_i, b_r, b_c, ni, nr, nc, pmax, rig_jac=False,
+        state, data, lam, *blocks, ni, nr, nc, pmax, rig_jac=False,
     ) + (back,)
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "ptype", "loss", "loss_threshold", "pmax", "ni", "nr", "nc",
-        "with_depth", "canonical", "rig_transform", "rig_jac", "dense",
-    ),
-)
-def _lm_step(state, data, lam, ptype, loss, loss_threshold, pmax, ni, nr, nc,
-             with_depth=False, canonical=False, rig_transform=True,
-             rig_jac=True, dense=False):
-    """One damped LM step: assemble, Schur-eliminate points, solve, update."""
-    inst, rigcam, cam, points = state
-    S, b, back = _build_reduced_system(
-        state, data, lam, ptype, loss, loss_threshold, pmax, ni, nr, nc,
-        with_depth, canonical, rig_transform, rig_jac, dense,
-    )
-    # S is SPD after damping + identity rows: Cholesky beats the LU lowering.
-    L = jax.lax.linalg.cholesky(S)
-    y = jax.lax.linalg.triangular_solve(
-        L, b[:, None], left_side=True, lower=True
-    )
-    dx_c = jax.lax.linalg.triangular_solve(
-        L, y, left_side=True, lower=True, transpose_a=True
-    )[:, 0]
+def _back_substitute(back, dx_i, dx_r, dx_cam, ni, pmax):
+    """Recover the point updates dx_p from the reduced-system solution.
 
-    # --- back-substitute points (gathers only) -----------------------------
-    di, dr = ni * 6, nr * 6
-    dx_i = dx_c[:di].reshape(ni, 6)
-    dx_r = dx_c[di : di + dr].reshape(nr, 6)
-    dx_cam = dx_c[di + dr :].reshape(nc, pmax)
+    Handles both the fused-kernel rows (feature-major, dense layout) and
+    the XLA-path Jacobian tensors carried in `back`."""
     Hpp_inv, bp = back["Hpp_inv"], back["bp"]
     # Per-observation back-substitution: u_p = sum_{o in p} Jp_o' (J_o dx_o)
     # — one elementwise pass over the already-materialized Jacobians instead
@@ -1131,13 +1114,7 @@ def _lm_step(state, data, lam, ptype, loss, loss_threshold, pmax, ni, nr, nc,
             ],
             axis=1,
         )  # [NP, 3]
-        dx_p = jnp.sum(Hpp_inv * (bp - u)[:, None, :], axis=-1)
-        return (
-            inst - dx_i,
-            rigcam - dx_r,
-            cam - dx_cam,
-            points - dx_p,
-        )
+        return jnp.sum(Hpp_inv * (bp - u)[:, None, :], axis=-1)
     num_obs = back["Ji"].shape[0]
     if back["dense"]:
         # slot == instance: the per-obs dx rows are a pure broadcast.
@@ -1176,6 +1153,40 @@ def _lm_step(state, data, lam, ptype, loss, loss_threshold, pmax, ni, nr, nc,
     tmp_pt = back["padded"](tmp)  # [NP, T, K]
     u = jnp.sum(back["Jp_pt"] * tmp_pt[..., None], axis=(1, 2))  # [NP, 3]
     dx_p = jnp.sum(Hpp_inv * (bp - u)[:, None, :], axis=-1)
+    return dx_p
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "ptype", "loss", "loss_threshold", "pmax", "ni", "nr", "nc",
+        "with_depth", "canonical", "rig_transform", "rig_jac", "dense",
+    ),
+)
+def _lm_step(state, data, lam, ptype, loss, loss_threshold, pmax, ni, nr, nc,
+             with_depth=False, canonical=False, rig_transform=True,
+             rig_jac=True, dense=False):
+    """One damped LM step: assemble, Schur-eliminate points, solve, update."""
+    inst, rigcam, cam, points = state
+    S, b, back = _build_reduced_system(
+        state, data, lam, ptype, loss, loss_threshold, pmax, ni, nr, nc,
+        with_depth, canonical, rig_transform, rig_jac, dense,
+    )
+    # S is SPD after damping + identity rows: Cholesky beats the LU lowering.
+    L = jax.lax.linalg.cholesky(S)
+    y = jax.lax.linalg.triangular_solve(
+        L, b[:, None], left_side=True, lower=True
+    )
+    dx_c = jax.lax.linalg.triangular_solve(
+        L, y, left_side=True, lower=True, transpose_a=True
+    )[:, 0]
+
+    # --- back-substitute points (gathers only) -----------------------------
+    di, dr = ni * 6, nr * 6
+    dx_i = dx_c[:di].reshape(ni, 6)
+    dx_r = dx_c[di : di + dr].reshape(nr, 6)
+    dx_cam = dx_c[di + dr :].reshape(nc, pmax)
+    dx_p = _back_substitute(back, dx_i, dx_r, dx_cam, ni, pmax)
 
     new_state = (
         inst - dx_i,

@@ -277,3 +277,165 @@ def make_sharded_lm_step(
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+# ---------------------------------------------------------------------------
+# Dense instance-slot sharded step: reuses the single-chip fast assembly
+# (fused Pallas kernel on TPU, the XLA dense path elsewhere) per shard and
+# psums the reduced block families — points/observations shard over the
+# mesh, camera-side parameters replicate, the solve is replicated.
+# ---------------------------------------------------------------------------
+
+
+def shard_problem_dense(problem: BAProblem, n_shards: int):
+    """Densify (slot == instance) and pad points so each shard holds an
+    equal, 128-multiple block of points (obs shard contiguously with their
+    points in the dense layout).  Returns (problem, per_shard_points)."""
+    from opensfm_tpu.ba.lm import canonicalize_problem_dense
+
+    problem, dense = canonicalize_problem_dense(problem)
+    if not dense:
+        raise ValueError("problem is not densifiable (mono single-camera)")
+    ni = len(problem.inst)
+    npts = len(problem.points)
+    per_shard = -(-npts // n_shards)
+    per_shard = ((per_shard + 127) // 128) * 128
+    np_pad = per_shard * n_shards
+    if np_pad != npts:
+        import dataclasses
+
+        def pad_pts(a, fill=0.0):
+            out = np.full((np_pad,) + a.shape[1:], fill, dtype=a.dtype)
+            out[:npts] = a
+            return out
+
+        def pad_obs(a, fill=0.0):
+            out = np.full((np_pad * ni,) + a.shape[1:], fill, dtype=a.dtype)
+            out[: npts * ni] = a
+            return out
+
+        problem = dataclasses.replace(
+            problem,
+            points=pad_pts(problem.points),
+            point_prior=pad_pts(problem.point_prior),
+            point_prior_inv_sd=pad_pts(problem.point_prior_inv_sd),
+            opt_points=pad_pts(problem.opt_points, False),
+            obs_uv=pad_obs(problem.obs_uv),
+            obs_inv_sd=pad_obs(problem.obs_inv_sd),
+            obs_point=np.repeat(
+                np.arange(np_pad, dtype=np.int64), ni
+            ),
+            obs_inst=np.tile(np.arange(ni, dtype=np.int64), np_pad),
+            obs_rigcam=np.zeros(np_pad * ni, dtype=np.int64),
+            obs_cam=np.zeros(np_pad * ni, dtype=np.int64),
+            point_obs=np.arange(np_pad * ni, dtype=np.int64).reshape(
+                np_pad, ni
+            ),
+        )
+    return problem, per_shard
+
+
+def make_sharded_lm_step_dense(
+    mesh: Mesh,
+    axis: str,
+    ni: int,
+    nr: int,
+    nc: int,
+    pmax: int,
+    loss: str = "SoftLOneLoss",
+    loss_threshold: float = 1.0,
+):
+    """One distributed LM step over the dense instance-slot layout.
+
+    Per device: the SAME reduced-system assembly as the single-chip fast
+    path (`lm._build_reduced_system(..., raw_blocks=True)` — the fused
+    Pallas kernel on TPU) over the local point/observation shard, then ONE
+    `psum` of the small block families (the ICI collective), a replicated
+    priors/damping epilogue + solve, and shard-local back-substitution.
+
+    step(state, sharded_data, lam) -> new (inst, cam, points); `state` is
+    (inst [NI,6], rigcam [NR,6], cam [NC,pmax], points [NP,3]) with points
+    sharded over `axis`, and `sharded_data` the BAProblem arrays laid out
+    by `shard_problem_dense` (obs arrays sharded, camera-side replicated).
+    """
+    from opensfm_tpu.ba import lm as _lm
+
+    def local_step(inst, rigcam, cam, points, obs_uv, obs_inv_sd,
+                   point_prior, point_prior_inv_sd, opt_points,
+                   gps_pos, gps_inv_sd, cam_prior, cam_prior_inv_sd,
+                   cam_log_mask, rigcam_prior, rigcam_prior_inv_sd,
+                   opt_inst, opt_rigcam, opt_cam, lam):
+        np_local = points.shape[0]
+        num_obs = np_local * ni
+        state = (inst, rigcam, cam, points)
+        izeros = jnp.zeros(num_obs, dtype=jnp.int32)
+        data = dict(
+            obs_uv=obs_uv, obs_inv_sd=obs_inv_sd,
+            obs_point=jnp.repeat(
+                jnp.arange(np_local, dtype=jnp.int32), ni
+            ),
+            obs_inst=jnp.tile(jnp.arange(ni, dtype=jnp.int32), np_local),
+            obs_rigcam=izeros, obs_cam=izeros,
+            point_obs=jnp.arange(num_obs, dtype=jnp.int32).reshape(
+                np_local, ni
+            ),
+            gps_pos=gps_pos, gps_inv_sd=gps_inv_sd,
+            cam_prior=cam_prior, cam_prior_inv_sd=cam_prior_inv_sd,
+            cam_log_mask=cam_log_mask, rigcam_prior=rigcam_prior,
+            rigcam_prior_inv_sd=rigcam_prior_inv_sd,
+            point_prior=point_prior, point_prior_inv_sd=point_prior_inv_sd,
+            opt_inst=opt_inst, opt_rigcam=opt_rigcam, opt_cam=opt_cam,
+            opt_points=opt_points,
+            up_inst=jnp.zeros(0, jnp.int32),
+            up_rigcam=jnp.zeros(0, jnp.int32),
+            up_vec=jnp.zeros((0, 3), points.dtype),
+            up_inv_sd=jnp.zeros(0, points.dtype),
+            ang_kind=jnp.zeros(0, jnp.int32),
+            ang_inst=jnp.zeros(0, jnp.int32),
+            ang_rigcam=jnp.zeros(0, jnp.int32),
+            ang_value=jnp.zeros(0, points.dtype),
+            ang_inv_sd=jnp.zeros(0, points.dtype),
+            obs_depth=jnp.zeros(num_obs, points.dtype),
+            obs_depth_inv_sd=jnp.zeros(num_obs, points.dtype),
+            obs_depth_radial=jnp.zeros(num_obs, bool),
+        )
+        blocks, back = _lm._build_reduced_system(
+            state, data, lam, "perspective", loss, loss_threshold, pmax,
+            ni, nr, nc, False, canonical=True, rig_transform=False,
+            rig_jac=False, dense=True, raw_blocks=True,
+        )
+        # ONE collective: reduce the camera-side block families over ICI.
+        blocks = tuple(jax.lax.psum(x, axis) for x in blocks)
+        # Replicated epilogue (priors, identity rows, damping) + solve.
+        S, b = _lm._assemble_S(
+            state, data, lam, *blocks, ni, nr, nc, pmax, rig_jac=False,
+        )
+        # QR: the f32 psum-assembled Schur complement can be indefinite at
+        # roundoff scale, which NaNs a Cholesky factor.
+        dx_c = tpu_linalg.solve_qr(S, b)
+        di, dr = ni * 6, nr * 6
+        dx_i = dx_c[:di].reshape(ni, 6)
+        dx_r = dx_c[di:di + dr].reshape(nr, 6)
+        dx_cam = dx_c[di + dr:].reshape(nc, pmax)
+        dx_p = _lm._back_substitute(back, dx_i, dx_r, dx_cam, ni, pmax)
+        return inst - dx_i, cam - dx_cam, points - dx_p
+
+    from jax import shard_map
+
+    rep = P()
+    sh = P(axis)
+    sharded = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(
+            rep, rep, rep, sh,          # inst, rigcam, cam, points
+            sh, sh,                     # obs_uv, obs_inv_sd
+            sh, sh, sh,                 # point priors, opt_points
+            rep, rep, rep, rep, rep, rep, rep,  # gps + cam/rig priors
+            rep, rep, rep,              # opt masks
+            rep,                        # lam
+        ),
+        out_specs=(rep, rep, sh),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

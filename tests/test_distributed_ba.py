@@ -124,3 +124,76 @@ def test_sharded_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(out8[1]), np.asarray(out1[1]), rtol=1e-8, atol=1e-9
     )
+
+
+def test_dense_sharded_step_matches_single_device():
+    """The dense instance-slot sharded step (per-shard fast assembly +
+    psum of block families) must match the single-device dense LM step."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from __graft_entry__ import _make_problem
+    from opensfm_tpu.ba import lm
+    from opensfm_tpu.parallel import (
+        make_sharded_lm_step_dense,
+        shard_problem_dense,
+    )
+
+    n_dev = 8
+    devices = np.array(jax.devices()[:n_dev])
+    mesh = Mesh(devices, ("points",))
+
+    base = _make_problem(n_shots=8, n_points=2048, seed=5)
+    problem, per_shard = shard_problem_dense(base, n_dev)
+    ni, nr, nc, npts, O, T = problem.counts()
+    pmax = problem.cam.shape[1]
+    dt = jnp.float32
+    lam = jnp.asarray(1e-4, dt)
+
+    st = tuple(
+        jnp.asarray(getattr(problem, k), dt)
+        for k in ("inst", "rigcam", "cam", "points")
+    )
+    ints = ("obs_point", "obs_inst", "obs_rigcam", "obs_cam", "point_obs")
+    bools = ("cam_log_mask", "opt_inst", "opt_rigcam", "opt_cam",
+             "opt_points")
+    d = {}
+    for name in (
+        "obs_uv", "obs_inv_sd", "obs_point", "obs_inst", "obs_rigcam",
+        "obs_cam", "point_obs", "gps_pos", "gps_inv_sd", "cam_prior",
+        "cam_prior_inv_sd", "cam_log_mask", "rigcam_prior",
+        "rigcam_prior_inv_sd", "point_prior", "point_prior_inv_sd",
+        "opt_inst", "opt_rigcam", "opt_cam", "opt_points",
+    ):
+        arr = getattr(problem, name)
+        d[name] = jnp.asarray(
+            arr, jnp.int32 if name in ints else bool if name in bools else dt
+        )
+
+    # Single-device dense step (no priors beyond GPS/cam defaults).
+    ref = lm._lm_step(
+        st, d, lam, ptype="perspective", loss="SoftLOneLoss",
+        loss_threshold=1.0, pmax=pmax, ni=ni, nr=nr, nc=nc,
+        canonical=True, rig_transform=False, rig_jac=False, dense=True,
+    )
+
+    step = make_sharded_lm_step_dense(mesh, "points", ni, nr, nc, pmax)
+    new_inst, new_cam, new_points = step(
+        st[0], st[1], st[2], st[3],
+        d["obs_uv"], d["obs_inv_sd"],
+        d["point_prior"], d["point_prior_inv_sd"], d["opt_points"],
+        d["gps_pos"], d["gps_inv_sd"], d["cam_prior"],
+        d["cam_prior_inv_sd"], d["cam_log_mask"], d["rigcam_prior"],
+        d["rigcam_prior_inv_sd"], d["opt_inst"], d["opt_rigcam"],
+        d["opt_cam"], lam,
+    )
+    for name, a, b in (
+        ("inst", new_inst, ref[0]),
+        ("cam", new_cam, ref[2]),
+        ("points", new_points, ref[3]),
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-12)
+        assert rel < 5e-4, (name, rel)
