@@ -1308,10 +1308,9 @@ def _total_cost(state, data, ptype, loss, loss_threshold, pmax,
     inst, rigcam, cam, points = state
     d = data
 
-    # TPU fast path: the fused Pallas kernel already emits the per-obs
-    # robust cost; one kernel pass beats the pure-XLA forward (whose [O,·]
-    # intermediates bounce through HBM in layout copies) by ~20x even
-    # though it also computes the 12 unused Jacobian pushes.
+    # TPU fast path: a forward-only Pallas kernel accumulates the robust
+    # cost in VMEM — no [O,·] HBM intermediates, no Jacobian work (the
+    # accept/reject trial only needs the objective).
     if (
         ptype == "perspective"
         and not rig_transform
@@ -1321,12 +1320,16 @@ def _total_cost(state, data, ptype, loss, loss_threshold, pmax,
         and points.dtype == jnp.float32
         and jax.default_backend() == "tpu"
     ):
-        _, _, _, cost = _residual_data(
-            state, data, ptype, loss, loss_threshold, pmax, with_depth,
-            rig_transform=rig_transform, rig_jac=rig_jac,
-            canonical=canonical, dense=dense,
+        from opensfm_tpu.ops.pallas_kernels.ba_resjac import fused_cost
+
+        num_obs = d["obs_uv"].shape[0]
+        point_repeat = num_obs // points.shape[0] if canonical else 0
+        total = fused_cost(
+            inst, cam, points, d["obs_inst"], d["obs_cam"], d["obs_point"],
+            d["obs_uv"], d["obs_inv_sd"], loss=loss,
+            loss_threshold=loss_threshold, point_repeat=point_repeat,
+            dense_inst=dense,
         )
-        total = jnp.sum(cost)
         for pr, _, _ in _prior_residuals(state, data):
             total = total + 0.5 * jnp.sum(pr * pr)
         rho_c = LOSSES["CauchyLoss"][0]

@@ -37,7 +37,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from opensfm_tpu.ops.pallas_kernels.ba_resjac import _chain
+from opensfm_tpu.ops.pallas_kernels.ba_resjac import chain_fwd_jac
 
 PB = 128  # points per grid step (sublanes)
 # Typed zero for index maps: a bare Python 0 lowers to an i64 constant under
@@ -108,8 +108,8 @@ def _make_kernel(loss: str, loss_threshold: float, ni: int, n_blocks: int):
             xr0_ref[:], xr1_ref[:], xr2_ref[:],
         )
         # Broadcast [1,NI] pose rows against [PB,NI] point rows happens
-        # inside _chain's elementwise math.
-        (p0, p1), lin = jax.linearize(_chain, vals)
+        # inside the chain's elementwise math.
+        (p0, p1), J0raw, J1raw = chain_fwd_jac(vals)
         isd = isd_ref[:]
         e0 = (p0 - u_ref[:]) * isd
         e1 = (p1 - v_ref[:]) * isd
@@ -129,14 +129,8 @@ def _make_kernel(loss: str, loss_threshold: float, ni: int, n_blocks: int):
         opt_c = (cam_ref[0, 4], cam_ref[0, 5], cam_ref[0, 6])
         optp = optp_ref[:]                 # [PB, 1]
         for jdir in range(12):
-            tang = tuple(
-                jnp.ones_like(vals[i]) if i == jdir
-                else jnp.zeros_like(vals[i])
-                for i in range(12)
-            )
-            d0, d1 = lin(tang)
-            d0 = d0 * scale
-            d1 = d1 * scale
+            d0 = J0raw[jdir] * scale
+            d1 = J1raw[jdir] * scale
             out_obs_ref[2 + jdir] = d0
             out_obs_ref[14 + jdir] = d1
             # Optimization masks for the assembly-side copies.
