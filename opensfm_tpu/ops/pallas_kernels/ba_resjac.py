@@ -57,8 +57,11 @@ def _chain(vals):
     X0 = x0 * cos_t + cxx * sinc + w0 * rdx * ccos + t0
     X1 = x1 * cos_t + cyy * sinc + w1 * rdx * ccos + t1
     X2 = x2 * cos_t + czz * sinc + w2 * rdx * ccos + t2
-    u = X0 / X2
-    v = X1 / X2
+    # Reciprocal-multiply form, matching chain_fwd_jac bit-for-bit so the
+    # fused cost and the full res+jac kernel produce identical primals.
+    iz = 1.0 / X2
+    u = X0 * iz
+    v = X1 * iz
     r2 = u * u + v * v
     d = 1.0 + r2 * (k1 + k2 * r2)
     return f * d * u, f * d * v
@@ -348,6 +351,10 @@ def fused_cost(
     residual+Jacobian kernel for it wastes ~90% of the work and the whole
     [32, O] HBM output. This kernel accumulates the per-lane partial costs
     in VMEM across the grid and writes one [1, TILE] row."""
+    if obs_uv.shape[0] == 0:
+        # grid=(0,) would never run the kernel, leaving the output buffer
+        # uninitialized; an empty problem has zero cost by definition.
+        return jnp.zeros((), obs_uv.dtype)
     inp, O, O_pad = _pack_inputs(
         inst, cam, points, obs_inst, obs_cam, obs_point, obs_uv, obs_inv_sd,
         point_repeat, dense_inst,

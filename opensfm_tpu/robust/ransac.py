@@ -173,13 +173,13 @@ def _run(
 # Model instantiations
 # ---------------------------------------------------------------------------
 
-_ESSENTIAL_SAMPLES = 8  # N-point linear solver (vs the reference's 5pt);
-# compensated by a larger batched hypothesis count.
+_ESSENTIAL_SAMPLES = 5  # Nistér 5-point minimal solver
+# (geometry/essential.py:essential_five_points, parity with essential.h:100);
+# each sample yields up to 10 candidate E hypotheses.
 
 
 def _essential_minimal(x, y):
-    E = ess.essential_n_points(x, y)
-    return E[None], jnp.ones(1, dtype=bool)
+    return ess.essential_five_points(x, y)  # [10,3,3], valid[10]
 
 
 def _essential_error(E, x, y):
@@ -207,9 +207,9 @@ def ransac_essential(
 
 
 def _relpose_minimal(x, y):
-    E = ess.essential_n_points(x, y)
-    Rt = ess.relative_pose_from_essential(E, x, y)
-    return Rt[None], jnp.ones(1, dtype=bool)
+    Es, valid = ess.essential_five_points(x, y)  # [10,3,3], [10]
+    Rts = jax.vmap(lambda E: ess.relative_pose_from_essential(E, x, y))(Es)
+    return Rts, valid
 
 
 def _relpose_error(Rt, x, y):
