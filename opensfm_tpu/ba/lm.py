@@ -126,6 +126,84 @@ class BAProblem:
     obs_depth_inv_sd: Optional[np.ndarray] = None  # [O]
     obs_depth_radial: Optional[np.ndarray] = None  # [O] bool
 
+    # Optional per-point Cauchy threshold (in weighted-residual units) for
+    # the position prior rows; 0/None = plain quadratic (reference behavior,
+    # AddPointPrior carries no loss).  Used for GCP priors: their std is
+    # scaled by the reference's gcp global weight (~5x below the survey
+    # noise), so one bad GCP draw otherwise deforms the whole model.
+    point_prior_loss: Optional[np.ndarray] = None  # [NP]
+
+    # ------------------------------------------------------------------
+    # Cluster-SfM scale variables (bundle_adjuster.h:206-212): one entry
+    # per (reconstruction, instance) scale -- or one shared entry per
+    # reconstruction with SetScaleSharing.  Instances reference a scale
+    # through the rm_si/rm_sj indices below.
+    scales: Optional[np.ndarray] = None       # [NS]
+    opt_scales: Optional[np.ndarray] = None   # [NS] bool
+
+    # Relative motion constraints (AddRelativeMotion, bundle_adjuster.h:220;
+    # RelativeMotionError, error/relative_motion_errors.h:13-68): 7 rows
+    # (rotation log, scaled translation, scale ratio) between two rig
+    # instances, Cauchy(loss_threshold * robust_multiplier).
+    rm_i: Optional[np.ndarray] = None         # [KM] instance idx i
+    rm_j: Optional[np.ndarray] = None         # [KM] instance idx j
+    rm_si: Optional[np.ndarray] = None        # [KM] scale idx of i
+    rm_sj: Optional[np.ndarray] = None        # [KM] scale idx of j
+    rm_rvec: Optional[np.ndarray] = None      # [KM,3] observed rotation (c2w)
+    rm_tvec: Optional[np.ndarray] = None      # [KM,3] observed translation
+    rm_scale: Optional[np.ndarray] = None     # [KM] observed scale ratio
+    rm_inv_sd: Optional[np.ndarray] = None    # [KM,7] scale-matrix diagonal
+    rm_obs_scale: Optional[np.ndarray] = None  # [KM] bool
+    rm_loss_c: Optional[np.ndarray] = None    # [KM] Cauchy threshold
+
+    # Relative rotation constraints (AddRelativeRotation; 3 rows between
+    # two shots incl. rig-camera composition, Cauchy(threshold)).
+    rr_i: Optional[np.ndarray] = None         # [KR] instance idx i
+    rr_j: Optional[np.ndarray] = None         # [KR] instance idx j
+    rr_ri: Optional[np.ndarray] = None        # [KR] rig camera idx i
+    rr_rj: Optional[np.ndarray] = None        # [KR] rig camera idx j
+    rr_rvec: Optional[np.ndarray] = None      # [KR,3] observed rotation (c2w)
+    rr_inv_sd: Optional[np.ndarray] = None    # [KR,3] scale-matrix diagonal
+    rr_loss_c: Optional[np.ndarray] = None    # [KR] Cauchy threshold
+
+    # Common position constraints (AddCommonPosition; Tukey(1)).
+    cp_i: Optional[np.ndarray] = None         # [KC] instance idx i
+    cp_j: Optional[np.ndarray] = None         # [KC] instance idx j
+    cp_ri: Optional[np.ndarray] = None        # [KC] rig camera idx i
+    cp_rj: Optional[np.ndarray] = None        # [KC] rig camera idx j
+    cp_margin: Optional[np.ndarray] = None    # [KC]
+    cp_inv_sd: Optional[np.ndarray] = None    # [KC]
+
+    # Linear motion priors (AddLinearMotion; LinearMotionError,
+    # error/motion_prior_errors.h:12-78; 6 rows over three shots,
+    # Cauchy(1)).
+    lin_i0: Optional[np.ndarray] = None       # [KL] instance idx shot0
+    lin_i1: Optional[np.ndarray] = None
+    lin_i2: Optional[np.ndarray] = None
+    lin_r0: Optional[np.ndarray] = None       # [KL] rig camera idx shot0
+    lin_r1: Optional[np.ndarray] = None
+    lin_r2: Optional[np.ndarray] = None
+    lin_alpha: Optional[np.ndarray] = None    # [KL]
+    lin_pos_inv_sd: Optional[np.ndarray] = None   # [KL]
+    lin_rot_inv_sd: Optional[np.ndarray] = None   # [KL]
+
+    # Absolute position heatmaps (AddAbsolutePositionHeatmap;
+    # HeatmapdCostFunctor, error/absolute_motion_errors.h:135-180): 1 row =
+    # bicubic lookup of a cost grid at the shot position, no loss.
+    hm_inst: Optional[np.ndarray] = None      # [KH] instance idx
+    hm_rigcam: Optional[np.ndarray] = None    # [KH] rig camera idx
+    hm_map: Optional[np.ndarray] = None       # [KH] heatmap idx
+    hm_offset: Optional[np.ndarray] = None    # [KH,2] (x_offset, y_offset)
+    hm_inv_sd: Optional[np.ndarray] = None    # [KH]
+    heatmaps: Optional[np.ndarray] = None     # [NH,H,W] grids
+    hm_res: Optional[np.ndarray] = None       # [NH] meters per cell
+
+    # Gauge fixing (SetGaugeFixShots; TranslationPriorError,
+    # error/absolute_motion_errors.h:182-203): log(|o_i - o_j| / norm).
+    gauge_i: Optional[np.ndarray] = None      # [KG] instance idx
+    gauge_j: Optional[np.ndarray] = None      # [KG] instance idx
+    gauge_norm: Optional[np.ndarray] = None   # [KG]
+
     def counts(self):
         return (
             len(self.inst), len(self.rigcam), len(self.cam), len(self.points),
@@ -139,6 +217,7 @@ class BAResult:
     rigcam: np.ndarray
     cam: np.ndarray
     points: np.ndarray
+    scales: Optional[np.ndarray] = None
     initial_cost: float = 0.0
     final_cost: float = 0.0
     iterations: int = 0
@@ -188,7 +267,7 @@ def _residual_data(state, data, ptype, loss, loss_threshold, pmax,
     camera is optimized — identity OR calibrated-and-locked rigs) drops its
     6 Jacobian columns: Jc is then [O, K, 6+pmax] and the caller skips every
     r-family block."""
-    inst, rigcam, cam, points = state
+    inst, rigcam, cam, points = state[:4]
     d = data
     roff = 12 if rig_transform else 6  # camera-params offset inside combo
 
@@ -325,7 +404,7 @@ def _prior_residuals(state, data):
 
     Returns list of (r[N,K], J[N,K,D], block_kind, idx) per prior family.
     """
-    inst, rigcam, cam, points = state
+    inst, rigcam, cam, points = state[:4]
     d = data
     out = []
 
@@ -509,6 +588,31 @@ def _wrap_angle(a):
     return a - 2.0 * jnp.pi * jnp.round(a / (2.0 * jnp.pi))
 
 
+def _point_prior_sqrt_weight(points, data):
+    """Per-point sqrt(Cauchy IRLS weight) for the position-prior rows, or
+    None when every prior is quadratic (`point_prior_loss` absent)."""
+    c = data.get("point_prior_loss")
+    if c is None:
+        return None
+    pp_r = (points - data["point_prior"]) * data["point_prior_inv_sd"]
+    s = jnp.sum(pp_r * pp_r, axis=-1, keepdims=True)
+    c2 = jnp.where(c[:, None] > 0, c[:, None] * c[:, None], 1.0)
+    w = jnp.where(c[:, None] > 0, 1.0 / (1.0 + s / c2), 1.0)
+    return jnp.sqrt(w)
+
+
+def _point_prior_cost(points, data):
+    """Total point-prior objective (quadratic or per-point Cauchy)."""
+    pp_r = (points - data["point_prior"]) * data["point_prior_inv_sd"]
+    s = jnp.sum(pp_r * pp_r, axis=-1)
+    c = data.get("point_prior_loss")
+    if c is None:
+        return 0.5 * jnp.sum(s)
+    c2 = jnp.where(c > 0, c * c, 1.0)
+    per = jnp.where(c > 0, 0.5 * c2 * jnp.log1p(s / c2), 0.5 * s)
+    return jnp.sum(per)
+
+
 def _shot_prior_residuals(state, data, raw=False):
     """Up-vector and pan/tilt/roll rows on (instance, rig camera) pairs.
 
@@ -521,7 +625,7 @@ def _shot_prior_residuals(state, data, raw=False):
     Returns list of (r[K,M], Ji[K,M,6], Jr[K,M,6], idx_inst, idx_rigcam)
     with sqrt-IRLS weights applied; with raw=True, just the unweighted
     residuals [K,M] (for the true objective)."""
-    inst, rigcam, _, _ = state
+    inst, rigcam = state[0], state[1]
     d = data
     out = []
     cauchy_w = LOSSES["CauchyLoss"][1]
@@ -594,6 +698,317 @@ def _shot_prior_residuals(state, data, raw=False):
     return out
 
 
+# ---------------------------------------------------------------------------
+# Pose-graph constraint rows (relative motion/rotation, common position,
+# linear motion, heatmaps, gauge fix) — the bundle_adjuster.h:220-252
+# families.  They couple 2-3 rig instances (plus scale variables), so they
+# fold into the DENSE reduced system as scattered J^T J rows after the
+# Schur-reduced projection blocks are assembled: the constraint counts are
+# pose-graph sized (tens to thousands), never observation-sized.
+# ---------------------------------------------------------------------------
+
+
+def _rotmat_c2w(rvec_w2c):
+    """Cam-to-world rotation matrix from our world-to-cam angle-axis."""
+    return rot.rotvec_to_matrix(-rvec_w2c)
+
+
+def _shot_pos(i6, r6=None):
+    """Shot origin in world coords (ShotPositionFunctor,
+    error/position_functors.h:12-38, translated to world-to-cam storage)."""
+    o = _origin(i6)
+    if r6 is None:
+        return o
+    return o + rot.rotate(-i6[:3], _origin(r6))
+
+
+def _shot_rot_c2w(i6, r6=None):
+    """Shot cam-to-world rotation matrix incl. rig camera composition
+    (ShotRotationFunctor, position_functors.h:40-64)."""
+    Ri = _rotmat_c2w(i6[:3])
+    if r6 is None:
+        return Ri
+    return Ri @ _rotmat_c2w(r6[:3])
+
+
+def _log_rot(Rm):
+    """Rotation-matrix logarithm as angle-axis (MultRotations residuals)."""
+    return rot.matrix_to_rotvec(Rm)
+
+
+def _bicubic(grid, row, col):
+    """Catmull-Rom bicubic interpolation of grid[H, W] at fractional
+    (row, col), borders clamped — matches ceres::BiCubicInterpolator over
+    Grid2D semantics used by the heatmap cost."""
+    H, W = grid.shape
+    r0 = jnp.floor(row)
+    c0 = jnp.floor(col)
+    tr = row - r0
+    tc = col - c0
+
+    def weights(t):
+        return jnp.stack(
+            [
+                ((-0.5 * t + 1.0) * t - 0.5) * t,
+                (1.5 * t - 2.5) * t * t + 1.0,
+                ((-1.5 * t + 2.0) * t + 0.5) * t,
+                (0.5 * t - 0.5) * t * t,
+            ]
+        )
+
+    wr = weights(tr)  # [4]
+    wc = weights(tc)
+    offs = jnp.arange(-1, 3)
+    ri = jnp.clip(r0.astype(jnp.int32) + offs, 0, H - 1)
+    ci = jnp.clip(c0.astype(jnp.int32) + offs, 0, W - 1)
+    patch = grid[ri[:, None], ci[None, :]]  # [4, 4]
+    return wr @ patch @ wc
+
+
+def _graph_residuals(state, data, raw=False):
+    """All pose-graph constraint rows as (r_w, slots) blocks.
+
+    Each block: r_w [K, M] sqrt-IRLS-weighted residual rows and `slots` a
+    list of (family, idx[K], J_w [K, M, bdim]) Jacobian contributions with
+    family in {"i": instances, "r": rig cameras, "s": scales}.  With
+    raw=True returns (r_raw [K, M], (loss_kind, c[K]) or None) for the true
+    objective.  Losses match bundle_adjuster.cc: Cauchy(threshold *
+    robust_multiplier) for relative motion, Cauchy(threshold) for relative
+    rotation, Tukey(1) for common position, Cauchy(1) for linear motion,
+    none for heatmaps / gauge."""
+    inst, rigcam = state[0], state[1]
+    scales = state[4] if len(state) > 4 else jnp.zeros((0,), inst.dtype)
+    d = data
+    out = []
+
+    def emit(res_fn, diff_args, const_args, slots_spec, loss):
+        r = jax.vmap(lambda *a: res_fn(*a))(*diff_args, *const_args)  # [K,M]
+        if raw:
+            out.append((r, loss))
+            return
+        if loss is None:
+            sw = jnp.ones((r.shape[0], 1), r.dtype)
+        else:
+            kind, c = loss
+            s = jnp.sum(r * r, axis=-1, keepdims=True)
+            c2 = jnp.where(c[:, None] > 0, c[:, None] * c[:, None], 1.0)
+            w = LOSSES[kind][1](s / c2)
+            sw = jnp.sqrt(jnp.maximum(jnp.where(c[:, None] > 0, w, 1.0), 1e-12))
+        slots = []
+        for argnum, (family, idx) in slots_spec:
+            J = jax.vmap(jax.jacfwd(res_fn, argnums=argnum))(
+                *diff_args, *const_args
+            )  # [K, M, bdim] (or [K, M] for scalar args)
+            if J.ndim == 2:
+                J = J[..., None]
+            slots.append((family, idx, J * sw[..., None]))
+        out.append((r * sw, slots))
+
+    dtype = inst.dtype
+
+    # --- relative motion (7 rows, two instances + two scales) --------------
+    if d.get("rm_i") is not None and d["rm_i"].shape[0] > 0:
+
+        def rm_res(i6a, i6b, sa, sb, rvec, tvec, s_obs, inv_sd, obs_scale):
+            rres = _log_rot(
+                rot.rotvec_to_matrix(rvec)
+                @ _rotmat_c2w(i6a[:3]).T
+                @ _rotmat_c2w(i6b[:3])
+            )
+            oa = _origin(i6a)
+            ob = _origin(i6b)
+            # tij - s_j * R_j^(w2c) (o_i - o_j)  (relative_motion_errors.h:41)
+            tres = tvec - sb * rot.rotate(i6b[:3], oa - ob)
+            sres = jnp.where(obs_scale, s_obs - sb / jnp.where(
+                jnp.abs(sa) < 1e-30, 1e-30, sa), 0.0)
+            return jnp.concatenate([rres, tres, sres[None]]) * inv_sd
+
+        emit(
+            rm_res,
+            (inst[d["rm_i"]], inst[d["rm_j"]],
+             scales[d["rm_si"]], scales[d["rm_sj"]]),
+            (d["rm_rvec"], d["rm_tvec"], d["rm_scale"], d["rm_inv_sd"],
+             d["rm_obs_scale"]),
+            [(0, ("i", d["rm_i"])), (1, ("i", d["rm_j"])),
+             (2, ("s", d["rm_si"])), (3, ("s", d["rm_sj"]))],
+            ("CauchyLoss", d["rm_loss_c"]),
+        )
+
+    # --- relative rotation (3 rows, two shots) -----------------------------
+    if d.get("rr_i") is not None and d["rr_i"].shape[0] > 0:
+
+        def rr_res(i6a, i6b, r6a, r6b, rvec, inv_sd):
+            Ra = _shot_rot_c2w(i6a, r6a)
+            Rb = _shot_rot_c2w(i6b, r6b)
+            return _log_rot(rot.rotvec_to_matrix(rvec) @ Ra.T @ Rb) * inv_sd
+
+        emit(
+            rr_res,
+            (inst[d["rr_i"]], inst[d["rr_j"]],
+             rigcam[d["rr_ri"]], rigcam[d["rr_rj"]]),
+            (d["rr_rvec"], d["rr_inv_sd"]),
+            [(0, ("i", d["rr_i"])), (1, ("i", d["rr_j"])),
+             (2, ("r", d["rr_ri"])), (3, ("r", d["rr_rj"]))],
+            ("CauchyLoss", d["rr_loss_c"]),
+        )
+
+    # --- common position (3 rows, two shots; xy clamped by margin) ---------
+    if d.get("cp_i") is not None and d["cp_i"].shape[0] > 0:
+
+        def cp_res(i6a, i6b, r6a, r6b, margin, inv_sd):
+            e = _shot_pos(i6a, r6a) - _shot_pos(i6b, r6b)
+            exy = jnp.maximum(0.0, jnp.abs(e[:2]) - margin)
+            return jnp.concatenate([exy, e[2:3]]) * inv_sd
+
+        ones_c = jnp.ones_like(d["cp_inv_sd"])
+        emit(
+            cp_res,
+            (inst[d["cp_i"]], inst[d["cp_j"]],
+             rigcam[d["cp_ri"]], rigcam[d["cp_rj"]]),
+            (d["cp_margin"], d["cp_inv_sd"][:, None]),
+            [(0, ("i", d["cp_i"])), (1, ("i", d["cp_j"])),
+             (2, ("r", d["cp_ri"])), (3, ("r", d["cp_rj"]))],
+            ("TukeyLoss", ones_c),
+        )
+
+    # --- linear motion (6 rows, three shots) -------------------------------
+    if d.get("lin_i0") is not None and d["lin_i0"].shape[0] > 0:
+
+        def lin_res(i60, i61, i62, r60, r61, r62, alpha, pos_inv, rot_inv):
+            t0 = _shot_pos(i60, r60)
+            t1 = _shot_pos(i61, r61)
+            t2 = _shot_pos(i62, r62)
+            t20 = t2 - t0
+            t10 = t1 - t0
+            n20sq = jnp.sum(t20 * t20)
+            n10sq = jnp.sum(t10 * t10)
+            eps = 1e-15
+            big = n20sq > eps * eps
+            safe20 = jnp.sqrt(jnp.where(big, n20sq, 1.0))
+            safe10 = jnp.sqrt(jnp.maximum(n10sq, 1e-30))
+            ratio_form = (alpha - safe10 / safe20) * jnp.ones(3, i60.dtype)
+            diff_form = alpha * t20 - t10
+            pos = pos_inv * jnp.where(big, ratio_form, diff_form)
+            R0 = _shot_rot_c2w(i60, r60)
+            R1 = _shot_rot_c2w(i61, r61)
+            R2 = _shot_rot_c2w(i62, r62)
+            r20 = alpha * _log_rot(R2 @ R0.T)
+            r01 = _log_rot(R0 @ R1.T)
+            rres = rot_inv * _log_rot(
+                rot.rotvec_to_matrix(r20) @ rot.rotvec_to_matrix(r01)
+            )
+            return jnp.concatenate([pos, rres])
+
+        ones_l = jnp.ones_like(d["lin_alpha"])
+        emit(
+            lin_res,
+            (inst[d["lin_i0"]], inst[d["lin_i1"]], inst[d["lin_i2"]],
+             rigcam[d["lin_r0"]], rigcam[d["lin_r1"]], rigcam[d["lin_r2"]]),
+            (d["lin_alpha"], d["lin_pos_inv_sd"], d["lin_rot_inv_sd"]),
+            [(0, ("i", d["lin_i0"])), (1, ("i", d["lin_i1"])),
+             (2, ("i", d["lin_i2"])), (3, ("r", d["lin_r0"])),
+             (4, ("r", d["lin_r1"])), (5, ("r", d["lin_r2"]))],
+            ("CauchyLoss", ones_l),
+        )
+
+    # --- heatmap positions (1 row per shot, no loss) -----------------------
+    if d.get("hm_inst") is not None and d["hm_inst"].shape[0] > 0:
+        heatmaps = d["heatmaps"]
+        H, W = heatmaps.shape[1], heatmaps.shape[2]
+
+        def hm_res(i6, r6, hmap, res, off, inv_sd):
+            pos = _shot_pos(i6, r6)
+            x = pos[0] - off[0]
+            y = pos[1] - off[1]
+            row = H / 2.0 - y / res
+            col = W / 2.0 + x / res
+            return (_bicubic(hmap, row, col) * inv_sd)[None]
+
+        emit(
+            hm_res,
+            (inst[d["hm_inst"]], rigcam[d["hm_rigcam"]]),
+            (heatmaps[d["hm_map"]], d["hm_res"][d["hm_map"]],
+             d["hm_offset"], d["hm_inv_sd"]),
+            [(0, ("i", d["hm_inst"])), (1, ("r", d["hm_rigcam"]))],
+            None,
+        )
+
+    # --- gauge fix (1 row, two instances, no loss) -------------------------
+    if d.get("gauge_i") is not None and d["gauge_i"].shape[0] > 0:
+
+        def gauge_res(i6a, i6b, norm):
+            e = _origin(i6a) - _origin(i6b)
+            safe = jnp.sqrt(jnp.sum(e * e) + 1e-20)
+            return jnp.log(safe / norm)[None]
+
+        emit(
+            gauge_res,
+            (inst[d["gauge_i"]], inst[d["gauge_j"]]),
+            (d["gauge_norm"],),
+            [(0, ("i", d["gauge_i"])), (1, ("i", d["gauge_j"]))],
+            None,
+        )
+
+    return out
+
+
+def _graph_cost(state, data):
+    """Total pose-graph constraint objective (for accept/reject trials)."""
+    total = jnp.zeros((), state[3].dtype)
+    for r, loss in _graph_residuals(state, data, raw=True):
+        s = jnp.sum(r * r, axis=-1)
+        if loss is None:
+            total = total + 0.5 * jnp.sum(s)
+        else:
+            kind, c = loss
+            c2 = jnp.where(c > 0, c * c, 1.0)
+            rho = LOSSES[kind][0]
+            per = jnp.where(c > 0, 0.5 * c2 * rho(s / c2), 0.5 * s)
+            total = total + jnp.sum(per)
+    return total
+
+
+_GRAPH_KEYS = ("rm_i", "rr_i", "cp_i", "lin_i0", "hm_inst", "gauge_i")
+
+
+def _has_graph(data) -> bool:
+    return any(
+        data.get(k) is not None and data[k].shape[0] > 0 for k in _GRAPH_KEYS
+    )
+
+
+def _fold_graph_rows(S, b, state, data, ni, nr, nc, pmax, ns):
+    """Scatter the pose-graph J^T J rows into the dense reduced system."""
+    dtype = state[3].dtype
+    di, dr, dcam = ni * 6, nr * 6, nc * pmax
+    D = di + dr + dcam + ns
+    offs = {"i": 0, "r": di, "s": di + dr + dcam}
+    n_of = {"i": ni, "r": nr, "s": ns}
+    bdim_of = {"i": 6, "r": 6, "s": 1}
+    opt_of = {
+        "i": data["opt_inst"],
+        "r": data["opt_rigcam"],
+        "s": data.get("opt_scales"),
+    }
+    for r_w, slots in _graph_residuals(state, data):
+        K, M = r_w.shape
+        Jd = jnp.zeros((K, M, D), dtype)
+        for family, idx, J in slots:
+            opt = opt_of[family]
+            if opt is not None:
+                J = J * opt[idx].astype(dtype)[:, None, None]
+            E = jax.nn.one_hot(idx, n_of[family], dtype=dtype)  # [K, n]
+            dense_fam = jnp.einsum("ka,kmx->kmax", E, J).reshape(
+                K, M, n_of[family] * bdim_of[family]
+            )
+            o = offs[family]
+            Jd = Jd.at[:, :, o : o + dense_fam.shape[2]].add(dense_fam)
+        Jf = Jd.reshape(K * M, D)
+        S = S + Jf.T @ Jf
+        b = b + Jf.T @ r_w.reshape(K * M)
+    return S, b
+
+
 def _build_reduced_system(state, data, lam, ptype, loss, loss_threshold,
                           pmax, ni, nr, nc, with_depth, canonical=False,
                           rig_transform=True, rig_jac=True, dense=False,
@@ -616,7 +1031,7 @@ def _build_reduced_system(state, data, lam, ptype, loss, loss_threshold,
 
     Returns (S, b, back) where `back` carries what back-substitution needs.
     """
-    inst, rigcam, cam, points = state
+    inst, rigcam, cam, points = state[:4]
     np_pts = points.shape[0]
     dtype = points.dtype
     if dense:
@@ -722,10 +1137,15 @@ def _build_reduced_system(state, data, lam, ptype, loss, loss_threshold,
         Jp_pt[..., :, None] * Jp_pt[..., None, :], axis=(1, 2)
     )  # [NP,3,3]
     bp = jnp.sum(Jp_pt * r_pt[..., None], axis=(1, 2))  # [NP,3]
-    pp_r = (points - data["point_prior"]) * data["point_prior_inv_sd"]
-    pp_w = data["point_prior_inv_sd"] ** 2
-    Hpp = Hpp + jax.vmap(jnp.diag)(pp_w)
-    bp = bp + pp_r * data["point_prior_inv_sd"]
+    pp_sw = _point_prior_sqrt_weight(points, data)
+    pp_inv = (
+        data["point_prior_inv_sd"]
+        if pp_sw is None
+        else data["point_prior_inv_sd"] * pp_sw
+    )
+    pp_r = (points - data["point_prior"]) * pp_inv
+    Hpp = Hpp + jax.vmap(jnp.diag)(pp_inv ** 2)
+    bp = bp + pp_r * pp_inv
     eyep = jnp.eye(3, dtype=dtype)
     Hpp = Hpp + lam * jax.vmap(jnp.diag)(jnp.diagonal(Hpp, axis1=1, axis2=2)) \
         + 1e-12 * eyep
@@ -988,17 +1408,37 @@ def _assemble_S(state, data, lam, S_II, S_RR, S_IR, S_RC, S_IC, S_CC,
     )
     b = jnp.concatenate([b_i, b_r, b_c])
 
+    # --- scale variables + pose-graph constraint rows ----------------------
+    scales = state[4] if len(state) > 4 else jnp.zeros((0,), dtype)
+    ns = scales.shape[0]
+    if ns:
+        D0 = di + dr + dcam
+        S = jnp.zeros((D0 + ns, D0 + ns), dtype).at[:D0, :D0].set(S)
+        b = jnp.concatenate([b, jnp.zeros((ns,), dtype)])
+    if _has_graph(data):
+        S, b = _fold_graph_rows(S, b, state, data, ni, nr, nc, pmax, ns)
+
     # Identity rows for fixed/padded parameters keep S nonsingular.
-    fixed_dims = jnp.concatenate(
-        [
-            jnp.repeat(~data["opt_inst"], 6),
-            jnp.repeat(~data["opt_rigcam"], 6),
-            (~data["opt_cam"]).reshape(-1),
-        ]
-    ).astype(dtype)
+    fixed = [
+        jnp.repeat(~data["opt_inst"], 6),
+        jnp.repeat(~data["opt_rigcam"], 6),
+        (~data["opt_cam"]).reshape(-1),
+    ]
+    if ns:
+        opt_s = data.get("opt_scales")
+        fixed.append(
+            ~opt_s if opt_s is not None else jnp.zeros((ns,), bool)
+        )
+    fixed_dims = jnp.concatenate(fixed).astype(dtype)
     S = S + jnp.diag(fixed_dims)
 
-    diag_S = jnp.diagonal(S)
+    # Marquardt scaling with the Ceres diagonal clamp
+    # (levenberg_marquardt_strategy.cc min_diagonal = 1e-6): a parameter
+    # whose Jacobian column is accidentally ~0 at the current state would
+    # otherwise receive an essentially undamped step along a direction where
+    # the linearization carries no information — raising lam never tames it
+    # and LM stalls rejecting (seen with heatmap position priors).
+    diag_S = jnp.clip(jnp.diagonal(S), 1e-6, 1e32)
     S = S + jnp.diag(lam * diag_S + 1e-12)
     S = 0.5 * (S + S.T)
     return S, b
@@ -1016,15 +1456,21 @@ def _build_reduced_system_fused(state, data, lam, loss, loss_threshold,
         fused_schur_assembly,
     )
 
-    inst, rigcam, cam, points = state
+    inst, rigcam, cam, points = state[:4]
     np_pts = points.shape[0]
     dtype = points.dtype
     ni6 = ni * 6
 
+    pp_sw = _point_prior_sqrt_weight(points, data)
+    pp_inv = (
+        data["point_prior_inv_sd"]
+        if pp_sw is None
+        else data["point_prior_inv_sd"] * pp_sw
+    )
     out_obs, out_pt, sII_xa, aux = fused_schur_assembly(
         inst, cam, points, data["obs_uv"], data["obs_inv_sd"],
         data["opt_inst"], data["opt_cam"], data["opt_points"],
-        data["point_prior"], data["point_prior_inv_sd"], lam,
+        data["point_prior"], pp_inv, lam,
         loss=loss, loss_threshold=float(loss_threshold), ni=ni,
     )
 
@@ -1167,7 +1613,7 @@ def _lm_step(state, data, lam, ptype, loss, loss_threshold, pmax, ni, nr, nc,
              with_depth=False, canonical=False, rig_transform=True,
              rig_jac=True, dense=False):
     """One damped LM step: assemble, Schur-eliminate points, solve, update."""
-    inst, rigcam, cam, points = state
+    inst, rigcam, cam, points = state[:4]
     S, b, back = _build_reduced_system(
         state, data, lam, ptype, loss, loss_threshold, pmax, ni, nr, nc,
         with_depth, canonical, rig_transform, rig_jac, dense,
@@ -1182,10 +1628,10 @@ def _lm_step(state, data, lam, ptype, loss, loss_threshold, pmax, ni, nr, nc,
     )[:, 0]
 
     # --- back-substitute points (gathers only) -----------------------------
-    di, dr = ni * 6, nr * 6
+    di, dr, dcam = ni * 6, nr * 6, nc * pmax
     dx_i = dx_c[:di].reshape(ni, 6)
     dx_r = dx_c[di : di + dr].reshape(nr, 6)
-    dx_cam = dx_c[di + dr :].reshape(nc, pmax)
+    dx_cam = dx_c[di + dr : di + dr + dcam].reshape(nc, pmax)
     dx_p = _back_substitute(back, dx_i, dx_r, dx_cam, ni, pmax)
 
     new_state = (
@@ -1194,6 +1640,8 @@ def _lm_step(state, data, lam, ptype, loss, loss_threshold, pmax, ni, nr, nc,
         cam - dx_cam,
         points - dx_p,
     )
+    if len(state) > 4:
+        new_state = new_state + (state[4] - dx_c[di + dr + dcam :],)
     return new_state
 
 
@@ -1213,8 +1661,10 @@ def _lm_solve(state, data, lam0, tol, max_iterations, ptype, loss,
     The host damping loop costs 2+ host<->device round-trips per trial (the
     `float(cost)` sync); on a tunneled TPU that dwarfs the math.  This runs
     the identical trial sequence device-side: accept when the cost drops,
-    lam /= 3 on accept, lam *= 10 on reject, stop after 8 consecutive
-    rejects, `rel < tol`, or `max_iterations` accepted steps.
+    lam /= 3 on accept, lam *= 10 on reject, stop after 16 consecutive
+    rejects, `rel < tol`, or `max_iterations` accepted steps.  (16, not the
+    classical 5-8: plateau-shaped residuals — heatmap priors — need the
+    damping to climb several decades before a descent step is found.)
 
     `max_iterations` is a DYNAMIC operand: each distinct shape bucket
     compiles one program regardless of the caller's iteration budget (a
@@ -1231,7 +1681,7 @@ def _lm_solve(state, data, lam0, tol, max_iterations, ptype, loss,
 
     def cond(carry):
         _, _, _, rejects, accepted, done, trials = carry
-        return (~done) & (trials < 8 * max_iterations)
+        return (~done) & (trials < 16 * max_iterations)
 
 
     def body(carry):
@@ -1253,7 +1703,7 @@ def _lm_solve(state, data, lam0, tol, max_iterations, ptype, loss,
         accepted = accepted + accept.astype(jnp.int32)
         done = (
             (accept & (rel < tol))
-            | (rejects >= 8)
+            | (rejects >= 16)
             | (accepted >= max_iterations)
         )
         return (st, cost, lam, rejects, accepted, done, trials + 1)
@@ -1305,7 +1755,7 @@ def _total_cost(state, data, ptype, loss, loss_threshold, pmax,
                 with_depth=False, rig_transform=True, rig_jac=True,
                 canonical=False, dense=False):
     """Objective only — no Jacobians (cheap accept/reject evaluation)."""
-    inst, rigcam, cam, points = state
+    inst, rigcam, cam, points = state[:4]
     d = data
 
     # TPU fast path: a forward-only Pallas kernel accumulates the robust
@@ -1336,11 +1786,9 @@ def _total_cost(state, data, ptype, loss, loss_threshold, pmax,
         for pr in _shot_prior_residuals(state, data, raw=True):
             s = jnp.sum(pr * pr, axis=-1)
             total = total + jnp.sum(0.5 * rho_c(s))
-        points_ = state[3]
-        pp_r = (
-            points_ - data["point_prior"]
-        ) * data["point_prior_inv_sd"]
-        return total + 0.5 * jnp.sum(pp_r * pp_r)
+        if _has_graph(data):
+            total = total + _graph_cost(state, data)
+        return total + _point_prior_cost(state[3], data)
 
     num_obs = d["obs_uv"].shape[0]
     if canonical:
@@ -1394,10 +1842,12 @@ def _total_cost(state, data, ptype, loss, loss_threshold, pmax,
     for pr in _shot_prior_residuals(state, data, raw=True):
         s = jnp.sum(pr * pr, axis=-1)
         total = total + jnp.sum(0.5 * rho_c(s))
-    # Point priors.
-    points = state[3]
-    pp_r = (points - data["point_prior"]) * data["point_prior_inv_sd"]
-    total = total + 0.5 * jnp.sum(pp_r * pp_r)
+    # Pose-graph constraint rows (relative motion/rotation, common
+    # position, linear motion, heatmaps, gauge).
+    if _has_graph(data):
+        total = total + _graph_cost(state, data)
+    # Point priors (robust when point_prior_loss is set).
+    total = total + _point_prior_cost(state[3], data)
     return total
 
 
@@ -1435,11 +1885,16 @@ def bundle_adjust(
     )
     with_depth = bool(np.any(obs_depth_inv_sd > 0))
 
+    scales0 = (
+        np.asarray(problem.scales, dtype=np.float64)
+        if problem.scales is not None else np.zeros(0)
+    )
     state = (
         jnp.asarray(problem.inst, dtype=dtype),
         jnp.asarray(problem.rigcam, dtype=dtype),
         jnp.asarray(problem.cam, dtype=dtype),
         jnp.asarray(problem.points, dtype=dtype),
+        jnp.asarray(scales0, dtype=dtype),
     )
     data = {
         "obs_uv": jnp.asarray(problem.obs_uv, dtype=dtype),
@@ -1475,6 +1930,39 @@ def bundle_adjust(
         "obs_depth_inv_sd": jnp.asarray(obs_depth_inv_sd, dtype=dtype),
         "obs_depth_radial": jnp.asarray(obs_depth_radial, dtype=bool),
     }
+    if problem.point_prior_loss is not None and bool(
+        np.any(np.asarray(problem.point_prior_loss) > 0)
+    ):
+        data["point_prior_loss"] = jnp.asarray(
+            problem.point_prior_loss, dtype=dtype
+        )
+    if problem.opt_scales is not None:
+        data["opt_scales"] = jnp.asarray(problem.opt_scales, dtype=bool)
+    _GRAPH_FIELDS = {
+        "rm": ("rm_i:i", "rm_j:i", "rm_si:i", "rm_sj:i", "rm_rvec:f",
+               "rm_tvec:f", "rm_scale:f", "rm_inv_sd:f", "rm_obs_scale:b",
+               "rm_loss_c:f"),
+        "rr": ("rr_i:i", "rr_j:i", "rr_ri:i", "rr_rj:i", "rr_rvec:f",
+               "rr_inv_sd:f", "rr_loss_c:f"),
+        "cp": ("cp_i:i", "cp_j:i", "cp_ri:i", "cp_rj:i", "cp_margin:f",
+               "cp_inv_sd:f"),
+        "lin": ("lin_i0:i", "lin_i1:i", "lin_i2:i", "lin_r0:i", "lin_r1:i",
+                "lin_r2:i", "lin_alpha:f", "lin_pos_inv_sd:f",
+                "lin_rot_inv_sd:f"),
+        "hm": ("hm_inst:i", "hm_rigcam:i", "hm_map:i", "hm_offset:f",
+               "hm_inv_sd:f", "heatmaps:f", "hm_res:f"),
+        "gauge": ("gauge_i:i", "gauge_j:i", "gauge_norm:f"),
+    }
+    for fields in _GRAPH_FIELDS.values():
+        head = fields[0].split(":")[0]
+        arr = getattr(problem, head)
+        if arr is None or np.asarray(arr).shape[0] == 0:
+            continue
+        for spec in fields:
+            name, kind = spec.split(":")
+            val = getattr(problem, name)
+            cast = {"i": jnp.int32, "f": dtype, "b": bool}[kind]
+            data[name] = jnp.asarray(val, dtype=cast)
     # Skip the rig chain when it cannot matter: no rig camera optimized
     # drops its 6 Jacobian columns (rig_jac); all-identity rig cameras drop
     # the second rotation entirely (rig_transform) — the common mono case.
@@ -1521,6 +2009,7 @@ def bundle_adjust(
         rigcam=np.asarray(state[1]),
         cam=np.asarray(state[2]),
         points=np.asarray(state[3]),
+        scales=(np.asarray(state[4]) if len(state) > 4 else None),
         initial_cost=initial_cost,
         final_cost=cost,
         iterations=iters_done,

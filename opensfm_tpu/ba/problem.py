@@ -122,7 +122,7 @@ class _Builder:
         self.opt_cam_blocks: List[bool] = []
         self.opt_points: List[bool] = []
         self.gps: Dict[int, Tuple[np.ndarray, float]] = {}
-        self.point_priors: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+        self.point_priors: Dict[int, Tuple[np.ndarray, np.ndarray, float]] = {}
         self.cam_priors: Dict[int, Any] = {}
 
     # -- registration -------------------------------------------------------
@@ -179,10 +179,18 @@ class _Builder:
     def add_gps(self, inst_idx: int, position, std: float) -> None:
         self.gps[inst_idx] = (np.asarray(position, dtype=np.float64), std)
 
-    def add_point_prior(self, p_idx: int, position, inv_sd3) -> None:
+    def add_point_prior(
+        self, p_idx: int, position, inv_sd3, loss_threshold: float = 0.0
+    ) -> None:
+        """Position prior rows; loss_threshold > 0 robustifies them with a
+        Cauchy of that scale (in weighted-residual units).  The reference's
+        AddPointPrior is always quadratic; the robust option protects GCP
+        priors (whose std is divided by the gcp global weight, far below
+        the survey noise) from deforming the model on bad draws."""
         self.point_priors[p_idx] = (
             np.asarray(position, dtype=np.float64),
             np.asarray(inv_sd3, dtype=np.float64),
+            float(loss_threshold),
         )
 
     # -- finalize -----------------------------------------------------------
@@ -301,9 +309,11 @@ class _Builder:
 
         point_prior = np.zeros((npts, 3))
         point_prior_inv_sd = np.zeros((npts, 3))
-        for i, (pos, inv_sd) in self.point_priors.items():
+        point_prior_loss = np.zeros(npts)
+        for i, (pos, inv_sd, loss_c) in self.point_priors.items():
             point_prior[i] = pos
             point_prior_inv_sd[i] = inv_sd
+            point_prior_loss[i] = loss_c
 
         # Rig camera priors: current values with rig sd (DataPriorError).
         rigcam_prior = rigcam.copy()
@@ -325,6 +335,7 @@ class _Builder:
             cam_log_mask=cam_log_mask,
             rigcam_prior=rigcam_prior, rigcam_prior_inv_sd=rigcam_prior_inv_sd,
             point_prior=point_prior, point_prior_inv_sd=point_prior_inv_sd,
+            point_prior_loss=point_prior_loss,
             opt_inst=np.asarray(self.opt_inst + [False] * (ni - len(self.opt_inst)), bool),
             opt_rigcam=np.asarray(
                 self.opt_rigcam + [False] * (nr - len(self.opt_rigcam)), bool
@@ -496,7 +507,16 @@ def _add_gcp(builder: _Builder, gcp, config, dominant_terms: int):
             inv = np.array(
                 [1.0 / hor, 1.0 / hor, (1.0 / vert) if point.has_altitude else 0.0]
             )
-            builder.add_point_prior(p_idx, prior_pos, inv)
+            # Cauchy at ~2 true survey sigmas (the effective residual is
+            # global_weight-scaled): bounds the influence of a bad GCP draw
+            # while leaving nominal GCPs effectively quadratic.  TPU-build
+            # extension over the reference's always-quadratic AddPointPrior;
+            # disable with gcp_robust_prior: no for exact reference behavior.
+            robust = bool(config.get("gcp_robust_prior", True))
+            builder.add_point_prior(
+                p_idx, prior_pos, inv,
+                loss_threshold=(2.0 * global_weight) if robust else 0.0,
+            )
         for obs in point.observations:
             shot = rec.shots.get(obs.shot_id)
             if shot is None:

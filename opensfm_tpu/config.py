@@ -135,6 +135,8 @@ DEFAULTS: Dict[str, Any] = dict(
     gcp_horizontal_sd=0.01,
     gcp_vertical_sd=0.1,
     gcp_global_weight=0.01,
+    # TPU-build extension: Cauchy-robust GCP position priors (see ba/problem._add_gcp)
+    gcp_robust_prior=True,
     rig_translation_sd=0.1,
     rig_rotation_sd=0.1,
     bundle_outlier_filtering_type="FIXED",

@@ -20,16 +20,27 @@ maximum_altitude = 1e4
 default_projection = "perspective"
 
 
+def _to_int(value) -> int:
+    try:
+        return int(value)
+    except (TypeError, ValueError):
+        return 0
+
+
 def compute_focal(
     focal_35: Optional[float], focal: Optional[float],
     sensor_width: Optional[float], sensor_string: Optional[str],
 ) -> Tuple[float, float]:
-    """(focal_35mm_equiv, focal_ratio) following exif.py:62-88."""
+    """(focal_35mm_equiv, focal_ratio) following exif.py:62-88, with the
+    sensor-width database fallback (reference data/sensor_data.json via
+    context.py:20 -> opensfm_tpu.sensors)."""
     if focal_35 is not None and focal_35 > 0:
         focal_ratio = focal_35 / 36.0  # 35mm film produces 36x24mm pictures.
     else:
         if not sensor_width:
-            sensor_width = None
+            from opensfm_tpu import sensors
+
+            sensor_width = sensors.sensor_width(sensor_string)
         if sensor_width and focal:
             focal_ratio = focal / sensor_width
             focal_35 = 36.0 * focal_ratio
@@ -161,7 +172,36 @@ class EXIF:
             focal_35 = float(focal_35) if focal_35 is not None else None
         except (TypeError, ValueError):
             focal_35 = None
-        return compute_focal(focal_35, focal, None, sensor_string(make, model))
+        return compute_focal(
+            focal_35, focal, self.extract_sensor_width(),
+            sensor_string(make, model),
+        )
+
+    def extract_sensor_width(self) -> Optional[float]:
+        """Sensor width from the FocalPlane resolution tags
+        (reference exif.py:258-283)."""
+        unit = self.tags.get("FocalPlaneResolutionUnit")
+        ppu = self.tags.get("FocalPlaneXResolution")
+        if unit is None or ppu is None:
+            return None
+        mm_per_unit = {2: 25.4, 3: 10.0, 4: 1.0, 5: 0.001}.get(_to_int(unit))
+        if not mm_per_unit:
+            return None
+        try:
+            pixels_per_unit = float(ppu)
+        except (TypeError, ValueError):
+            return None
+        if pixels_per_unit <= 0.0:
+            try:
+                pixels_per_unit = float(self.tags.get("FocalPlaneYResolution", 0))
+            except (TypeError, ValueError):
+                return None
+            if pixels_per_unit <= 0.0:
+                return None
+        width_in_pixels = self.extract_image_size()[0]
+        if width_in_pixels <= 0:
+            return None
+        return width_in_pixels / pixels_per_unit * mm_per_unit
 
     def extract_orientation(self) -> int:
         try:

@@ -1,17 +1,21 @@
 """End-to-end incremental reconstruction on the synthetic circle scene.
 
 Mirrors reference opensfm/test/test_reconstruction_incremental.py:6-52 with
-the same scene parameters, noise levels and metric assertions.
+the same scene parameters, noise levels and metric assertions — and asserts
+the reference's STRICT bounds (position rmse < 0.03, rotation < 0.003,
+test_reconstruction_incremental.py:37-38) across multiple seeds, seed 42
+included.
 
-Note on bounds: our generator consumes the legacy NumPy RNG in a different
-order than the reference's, so seed 42 yields a different noise REALIZATION
-of the same distributions.  On that draw the unique optimum of the
-robustified objective sits at position rmse 0.039 (verified: a bundle
-initialized at ground truth converges to the same point and cost), so the
-seed-42 assertions are set at 0.045/0.006.  Seeds 0/1/7 land at 0.018-0.022
-— `test_reconstruction_incremental_strict` asserts the reference's strict
-0.03/0.003 bounds on the seed-0 realization to demonstrate parity on a
-typical draw.
+Note on noise realizations: our generator consumes the legacy NumPy RNG in a
+different order than the reference's (whose stream also depends on libstdc++
+unordered_map iteration), so a given seed yields a different REALIZATION of
+the same noise distributions.  Round-1 failed the strict bounds at seed 42
+because the reference-weighted GCP position priors (std divided by the gcp
+global weight — ~5x below the survey noise) let one bad GCP draw deform the
+model to rmse 0.039.  The Cauchy-robust GCP priors (ba/problem._add_gcp,
+gcp_robust_prior) bound that influence; all seeds now meet the strict
+bounds with the GCP error statistics still inside the reference's asserted
+noise-level bands.
 """
 
 import numpy as np
@@ -25,73 +29,8 @@ from opensfm_tpu.synthetic_data import (
 )
 
 
-@pytest.fixture(scope="session")
-def scene_synthetic():
-    np.random.seed(42)
-    reference = geo.TopocentricConverter(47.0, 6.0, 0)
-    data = synthetic_examples.synthetic_circle_scene(reference)
-
-    maximum_depth = 40
-    projection_noise = 1.0
-    gps_noise = 5.0
-    imu_noise = 0.1
-    gcp_noise = (0.01, 0.1)
-    gcps_count = 10
-    gcps_shift = [10.0, 0.0, 100.0]
-
-    return synthetic_scene.SyntheticInputData(
-        data.get_reconstruction(), reference, maximum_depth, projection_noise,
-        gps_noise, imu_noise, gcp_noise, False, gcps_count, gcps_shift,
-    )
-
-
-def test_reconstruction_incremental(scene_synthetic) -> None:
-    reference = scene_synthetic.reconstruction
-    dataset = synthetic_dataset.SyntheticDataSet(
-        reference,
-        scene_synthetic.exifs,
-        scene_synthetic.features,
-        scene_synthetic.tracks_manager,
-        scene_synthetic.gcps,
-    )
-    dataset.config["bundle_compensate_gps_bias"] = True
-    dataset.config["bundle_use_gcp"] = True
-    dataset.config["bundle_max_iterations"] = 20
-
-    _, reconstructed_scene = reconstruction.incremental_reconstruction(
-        dataset, scene_synthetic.tracks_manager
-    )
-    errors = synthetic_scene.compare(
-        reference, scene_synthetic.gcps, reconstructed_scene[0]
-    )
-
-    assert reconstructed_scene[0].reference.lat == 47.0
-    assert reconstructed_scene[0].reference.lon == 6.0
-
-    assert errors["ratio_cameras"] == 1.0
-    assert 0.7 < errors["ratio_points"] < 1.0
-
-    assert 0 < errors["aligned_position_rmse"] < 0.045
-    assert 0 < errors["aligned_rotation_rmse"] < 0.006
-    assert 0 < errors["aligned_points_rmse"] < 0.1
-
-    # GPS error close to the injected gps_noise
-    assert 3.0 < errors["absolute_gps_rmse"] < 7.0
-
-    # GCP error close to the injected gcp_noise
-    assert 0.01 < errors["absolute_gcp_rmse_horizontal"] < 0.05
-    assert 0.08 < errors["absolute_gcp_rmse_vertical"] < 0.18
-
-    # GPS bias (translation) recovered
-    translation = reconstructed_scene[0].biases["1"].translation
-    assert 9.8 < translation[0] < 10.4
-    assert 99.8 < translation[2] < 100.4
-
-
-def test_reconstruction_incremental_strict() -> None:
-    """The reference's strict bounds (test_reconstruction_incremental.py:
-    37-46) on a typical noise draw (seed 0; see module docstring)."""
-    np.random.seed(0)
+def _run_scene(seed: int):
+    np.random.seed(seed)
     reference = geo.TopocentricConverter(47.0, 6.0, 0)
     data = synthetic_examples.synthetic_circle_scene(reference)
     scene = synthetic_scene.SyntheticInputData(
@@ -105,13 +44,49 @@ def test_reconstruction_incremental_strict() -> None:
     dataset.config["bundle_compensate_gps_bias"] = True
     dataset.config["bundle_use_gcp"] = True
     dataset.config["bundle_max_iterations"] = 20
-
     _, recs = reconstruction.incremental_reconstruction(
         dataset, scene.tracks_manager
     )
     errors = synthetic_scene.compare(
         scene.reconstruction, scene.gcps, recs[0]
     )
+    return scene, recs, errors
+
+
+def test_reconstruction_incremental() -> None:
+    """Full assertion set at seed 42 (reference conftest fixture seed),
+    including GPS-bias recovery (test_reconstruction_incremental.py:35-51)."""
+    scene, recs, errors = _run_scene(42)
+
+    assert recs[0].reference.lat == 47.0
+    assert recs[0].reference.lon == 6.0
+
+    assert errors["ratio_cameras"] == 1.0
+    assert 0.7 < errors["ratio_points"] < 1.0
+
+    # The reference's strict bounds (:37-39).
+    assert 0 < errors["aligned_position_rmse"] < 0.03
+    assert 0 < errors["aligned_rotation_rmse"] < 0.003
+    assert 0 < errors["aligned_points_rmse"] < 0.1
+
+    # GPS error close to the injected gps_noise
+    assert 3.0 < errors["absolute_gps_rmse"] < 7.0
+
+    # GCP error close to the injected gcp_noise
+    assert 0.01 < errors["absolute_gcp_rmse_horizontal"] < 0.05
+    assert 0.08 < errors["absolute_gcp_rmse_vertical"] < 0.18
+
+    # GPS bias (translation) recovered
+    translation = recs[0].biases["1"].translation
+    assert 9.8 < translation[0] < 10.4
+    assert 99.8 < translation[2] < 100.4
+
+
+@pytest.mark.parametrize("seed", [0, 1, 7])
+def test_reconstruction_incremental_strict(seed) -> None:
+    """The reference's strict metric bounds hold across noise realizations
+    (test_reconstruction_incremental.py:35-46), not just one chosen seed."""
+    _, recs, errors = _run_scene(seed)
     assert errors["ratio_cameras"] == 1.0
     assert 0.7 < errors["ratio_points"] < 1.0
     assert 0 < errors["aligned_position_rmse"] < 0.03
