@@ -220,6 +220,27 @@ def main() -> None:
         extra["matching_pairs_per_s"] = round(bench_matching(jax, jnp), 2)
     except Exception as e:  # pragma: no cover
         print(f"matching bench failed: {e}", file=sys.stderr)
+    try:
+        # Multi-device sharded-step measurement on a virtual CPU mesh
+        # (subprocess; the TPU process keeps its platform).  On this
+        # single-host machine XLA-CPU already uses every core for the
+        # 1-device run, so the printed efficiency is a LOWER bound for
+        # real multi-chip ICI scaling — it validates the sharded program,
+        # not chip scaling (no multi-chip hardware on the bench host).
+        import os
+        import subprocess
+
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "bench_scaling.py"), "2"],
+            capture_output=True, text=True, timeout=600, env=env,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        extra["cpu_mesh_scaling"] = json.loads(line)
+    except Exception as e:  # pragma: no cover
+        print(f"scaling bench failed: {e}", file=sys.stderr)
 
     ceres_cpu_estimate = 1.0  # LM iter/s, Ceres SPARSE_SCHUR, workstation CPU
     print(

@@ -23,6 +23,9 @@ def run_dataset(data, diagram_max_points: int = -1) -> None:
         stats.save_matchgraph(data, tracks_manager, reconstructions, output_path)
         stats.save_topview(data, tracks_manager, reconstructions, output_path)
         stats.save_heatmap(data, tracks_manager, reconstructions, output_path)
+        stats.save_residual_grids(
+            data, tracks_manager, reconstructions, output_path
+        )
     except Exception as e:
         logger.warning("Plot generation failed: %s", e)
     logger.info("Statistics written to %s", output_path)

@@ -8,6 +8,7 @@ instead of pose-graph stitching.
 """
 
 from opensfm_tpu.parallel.distributed_ba import (  # noqa: F401
+    make_sharded_cg_lm_step,
     make_sharded_lm_step,
     make_sharded_lm_step_dense,
     shard_problem,

@@ -507,3 +507,105 @@ def save_heatmap(
             os.path.join(output_path, f"heatmap_{safe_id}.png"), dpi=150
         )
         plt.close(fig)
+
+
+def _grid_buckets(camera) -> Tuple[int, int]:
+    """Residual-grid bucket counts (reference stats.py:477-482)."""
+    buckets = 40
+    if camera.projection_type == "spherical":
+        return 2 * buckets, buckets
+    return buckets, buckets
+
+
+def save_residual_grids(
+    data, tracks_manager, reconstructions, output_path: str, io_handler=None
+) -> None:
+    """Per-camera residual vector-field plots (reference stats.py:891-1000):
+    normalized reprojection residuals binned on a 40x40 grid over the image
+    plane, drawn as a quiver field colored by magnitude — the lens-model
+    health check (systematic radial patterns = distortion misfit)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib import colors as mcolors
+
+    from opensfm_tpu.reconstruction import compute_reprojection_errors
+
+    scaling = 4
+    all_errors: Dict[str, list] = {}
+    cameras: Dict[str, Any] = {}
+    for rec in reconstructions:
+        for camera_id, cam in rec.cameras.items():
+            all_errors.setdefault(camera_id, [])
+            cameras[camera_id] = cam
+
+    for rec in reconstructions:
+        if not any(s.get_landmark_observations() for s in rec.shots.values()):
+            rec.add_correspondences_from_tracks_manager(tracks_manager)
+        compute_reprojection_errors(rec)
+        for point in rec.points.values():
+            for shot_id, error in point.reprojection_errors.items():
+                shot = rec.shots.get(shot_id)
+                if shot is None:
+                    continue
+                obs = shot.get_observation(point.id)
+                if obs is None:
+                    continue
+                cam = shot.camera
+                w, h = cam.width, cam.height
+                normalizer = max(w, h)
+                if _norm2d(np.asarray(error)) * normalizer > RESIDUAL_PIXEL_CUTOFF:
+                    continue
+                buckets_x, buckets_y = _grid_buckets(cam)
+                center = np.array([w / 2.0, h / 2.0])
+                bucket = np.asarray(obs.point) * normalizer + center
+                x = int(np.clip(bucket[0] * buckets_x / w, 0, buckets_x - 1))
+                y = int(np.clip(bucket[1] * buckets_y / h, 0, buckets_y - 1))
+                all_errors[cam.id].append((x, y, np.asarray(error)))
+
+    for camera_id, errors in all_errors.items():
+        if not errors:
+            continue
+        cam = cameras[camera_id]
+        buckets_x, buckets_y = _grid_buckets(cam)
+        grid_res = np.zeros((buckets_y, buckets_x, 2))
+        grid_count = np.full((buckets_y, buckets_x, 1), 1)
+        for x, y, e in errors:
+            grid_res[y, x] += e[:2]
+            grid_count[y, x, 0] += 1
+        grid_res = grid_res / grid_count
+
+        clamp = 0.1
+        res_colors = np.linalg.norm(grid_res, axis=2)
+        lowest = np.percentile(res_colors, 0)
+        highest = np.percentile(res_colors, 100 * (1 - clamp))
+        res_colors = np.clip(res_colors, lowest, highest)
+        scale = max(highest - lowest, 1e-12)
+        res_colors = res_colors / scale
+
+        plt.clf()
+        fig = plt.figure(figsize=(12, 10))
+        Q = plt.quiver(
+            grid_res[:, :, 0] * scaling,
+            grid_res[:, :, 1] * scaling,
+            res_colors,
+            units="xy", angles="xy", scale_units="xy", scale=1, width=0.1,
+            cmap="viridis_r",
+        )
+        plt.quiverkey(
+            Q, X=0.1, Y=1.04, U=scale * scaling,
+            label=f"Residual grid scale : {scale:.2f}", labelpos="E",
+        )
+        norm = mcolors.Normalize(vmin=lowest, vmax=highest)
+        sm = plt.cm.ScalarMappable(norm=norm, cmap=plt.get_cmap("viridis_r"))
+        sm.set_array([])
+        plt.colorbar(sm, ax=plt.gca())
+        plt.gca().invert_yaxis()
+        plt.title(f"Residual grid: {camera_id}")
+        safe_id = camera_id.replace("/", "_").replace(" ", "_")
+        fig.savefig(
+            os.path.join(output_path, f"residuals_{safe_id}.png"), dpi=150,
+            bbox_inches="tight",
+        )
+        plt.close(fig)

@@ -78,3 +78,112 @@ def test_exif_extraction(berlin_dataset):
     assert abs(d["gps"]["longitude"] - 13.40) < 0.01
     assert d["gps"]["dop"] == 5.0
     assert abs(d["focal_ratio"] - 35.0 / 36.0) < 1e-6
+
+
+@pytest.mark.skipif(not os.path.isdir(BERLIN), reason="berlin data missing")
+def test_berlin_full_pipeline_stages(berlin_dataset):
+    """Continue the module-scoped berlin run through every remaining stage:
+    mesh -> undistort -> depthmaps -> stats -> all exports -> from-prior
+    (reference test_commands.py:18-75 runs all 18 commands)."""
+    from opensfm_tpu.actions import (
+        compute_depthmaps,
+        compute_statistics,
+        export_bundler,
+        export_colmap,
+        export_geocoords,
+        export_openmvs,
+        export_pmvs,
+        export_report,
+        export_visualsfm,
+        mesh,
+        reconstruct_from_prior,
+        undistort,
+    )
+
+    data = berlin_dataset
+    if not data.reconstruction_exists():
+        pytest.skip("module-ordered: test_run_all_berlin must run first")
+
+    mesh.run_dataset(data)
+    # The meshed model is written to reconstruction.meshed.json
+    # (reference actions/mesh.py).
+    recs = data.load_reconstruction("reconstruction.meshed.json")
+    any_mesh = any(
+        s.mesh.vertices is not None and len(s.mesh.vertices) > 0
+        for r in recs
+        for s in r.shots.values()
+    )
+    assert any_mesh
+
+    undistort.run_dataset(data)
+    udata = data.undistorted_dataset()
+    urec = udata.load_undistorted_reconstruction()
+    assert len(urec) == 1 and len(urec[0].shots) == 3
+    for shot_id in urec[0].shots:
+        assert os.path.isfile(udata._undistorted_image_file(shot_id))
+
+    compute_depthmaps.run_dataset(data)
+    merged = os.path.join(udata.data_path, "depthmaps", "merged.ply")
+    assert os.path.isfile(merged)
+    with open(merged) as f:
+        assert f.readline().strip() == "ply"
+
+    compute_statistics.run_dataset(data)
+    stats_file = os.path.join(data.data_path, "stats", "stats.json")
+    assert os.path.isfile(stats_file)
+
+    export_report.run_dataset(data)
+    assert os.path.isfile(os.path.join(data.data_path, "stats", "report.pdf"))
+
+    export_colmap.run_dataset(data)
+    assert os.path.isfile(os.path.join(data.data_path, "colmap_export", "cameras.txt"))
+    export_bundler.run_dataset(data)
+    export_visualsfm.run_dataset(data)
+    export_pmvs.run_dataset(data)
+    export_openmvs.run_dataset(data)
+    export_geocoords.run_dataset(data, transformation=True, image_positions=True)
+    assert os.path.isfile(
+        os.path.join(data.data_path, "geocoords_transformation.txt")
+    )
+
+    # reconstruct_from_prior reproduces the model (reference :69-75).
+    reconstruct_from_prior.run_dataset(data)
+    prior_recs = data.load_reconstruction("reconstruction.prior.json")
+    assert len(prior_recs) == 1
+    assert len(prior_recs[0].shots) == 3
+    assert len(prior_recs[0].points) > 1000
+
+
+@pytest.mark.skipif(not os.path.isdir(BERLIN), reason="berlin data missing")
+def test_berlin_ate_vs_reference_output(berlin_dataset):
+    """ATE against the reference's committed berlin reconstruction
+    (data/berlin/reconstruction_example.json, produced by the reference
+    pipeline; same reference_lla, so trajectories are directly comparable
+    after similarity alignment — the BASELINE.json north-star check)."""
+    import json
+
+    from opensfm_tpu import io as io_mod
+    from opensfm_tpu import multiview
+
+    data = berlin_dataset
+    if not data.reconstruction_exists():
+        pytest.skip("module-ordered: test_run_all_berlin must run first")
+    ours = data.load_reconstruction()[0]
+
+    with open(os.path.join(BERLIN, "reconstruction_example.json")) as f:
+        ref = io_mod.reconstructions_from_json(json.load(f))[0]
+
+    assert set(ours.shots.keys()) == set(ref.shots.keys())
+    ids = sorted(ours.shots.keys())
+    ours_o = np.array([ours.shots[i].pose.get_origin() for i in ids])
+    ref_o = np.array([ref.shots[i].pose.get_origin() for i in ids])
+
+    T, _ = multiview.fit_similarity_transform(ours_o, ref_o)
+    aligned = ours_o @ T[:3, :3].T + T[:3, 3]
+    ate = float(np.sqrt(np.mean(np.sum((aligned - ref_o) ** 2, axis=1))))
+    # Scene scale: the three shots span ~10 m; sub-half-meter agreement
+    # with the reference's own output.
+    assert ate < 0.5, f"berlin ATE vs reference output: {ate:.3f} m"
+
+    # Record for docs/RESULTS.md.
+    print(f"berlin ATE vs reference example: {ate:.4f} m")

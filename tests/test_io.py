@@ -180,3 +180,50 @@ def test_io_filesystem_default(tmp_path) -> None:
     assert fs.ls(d) == ["x.txt"]
     fs.rm_if_exist(f)
     assert not fs.exists(f)
+
+
+def test_openmvs_binary_roundtrip(tmp_path):
+    """The .mvs writer produces a stream that parses back exactly
+    (Interface.h version-6 layout: magic, u64-prefixed strings/vectors,
+    row-major f64 matrices, f32 vertex positions)."""
+    import numpy as np
+
+    from opensfm_tpu.io_openmvs import (
+        MVSI_PROJECT_VER,
+        OpenMVSExporter,
+        read_mvs,
+    )
+
+    ex = OpenMVSExporter()
+    K = np.array([[1000.0, 0, 511.5], [0, 1000.0, 383.5], [0, 0, 1]])
+    ex.add_camera("cam1", K, 1024, 768)
+    R = np.eye(3)
+    ex.add_shot("/tmp/a.jpg", "", "shot_a", "cam1", R, np.array([1.0, 2, 3]))
+    ex.add_shot("/tmp/b.jpg", "/tmp/b_mask.png", "shot_b", "cam1", R,
+                np.array([4.0, 5, 6]))
+    ex.add_point(np.array([0.5, -0.5, 10.0]), ["shot_a", "shot_b"])
+    ex.add_point(np.array([1.5, 0.5, 12.0]), ["shot_b"])
+
+    out = tmp_path / "scene.mvs"
+    ex.export(str(out))
+    assert out.stat().st_size > 0
+
+    scene = read_mvs(str(out))
+    assert scene["version"] == MVSI_PROJECT_VER
+    assert len(scene["platforms"]) == 1
+    p = scene["platforms"][0]
+    assert p["name"] == "cam1"
+    assert len(p["cameras"]) == 1
+    np.testing.assert_allclose(p["cameras"][0]["K"], K)
+    assert p["cameras"][0]["width"] == 1024
+    assert len(p["poses"]) == 2
+    np.testing.assert_allclose(p["poses"][0]["C"], [1, 2, 3])
+    assert len(scene["images"]) == 2
+    assert scene["images"][0]["name"] == "/tmp/a.jpg"
+    assert scene["images"][1]["mask_name"] == "/tmp/b_mask.png"
+    assert scene["images"][1]["pose_id"] == 1
+    assert len(scene["vertices"]) == 2
+    np.testing.assert_allclose(
+        scene["vertices"][0]["X"], [0.5, -0.5, 10.0], rtol=1e-6
+    )
+    assert [v[0] for v in scene["vertices"][0]["views"]] == [0, 1]
