@@ -27,6 +27,28 @@ from annotation_gui_gcp.lib.gcp_manager import (  # noqa: E402
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
+def analyze_dataset(dataset_path: str):
+    """Triangulate annotated GCPs against the dataset's reconstruction and
+    report per-observation reprojection + geopositional errors (reference
+    annotation_gui_gcp run_ba analysis loop)."""
+    from annotation_gui_gcp.run_ba import (
+        gcp_geopositional_error,
+        reproject_gcps,
+    )
+    from opensfm_tpu.dataset import DataSet
+
+    data = DataSet(dataset_path)
+    if not data.reconstruction_exists():
+        return {"error": "no reconstruction.json — run the pipeline first"}
+    rec = data.load_reconstruction()[0]
+    gcps = data.load_ground_control_points()
+    if not gcps:
+        return {"error": "no annotated GCPs"}
+    reproj = reproject_gcps(gcps, rec)
+    geo = gcp_geopositional_error(gcps, rec)
+    return {"reprojections": reproj, "geo_errors": geo}
+
+
 class AnnotationHandler(SimpleHTTPRequestHandler):
     dataset_path = "."
     manager: GroundControlPointManager = None
@@ -81,6 +103,8 @@ class AnnotationHandler(SimpleHTTPRequestHandler):
             )
             m.write_to_file()
             return self._json({"ok": True})
+        if path == "/analyze":
+            return self._json(analyze_dataset(self.dataset_path))
         self.send_error(404)
 
     def _json(self, obj):

@@ -1,9 +1,13 @@
 """Bag-of-visual-words: tf-idf histograms + L1 distances.
 
-Mirrors reference `opensfm/bow.py:11-76`.  Instead of shipping a pretrained
-FLANN vocabulary (data/bow/bow_hahog_root_uchar_10000.npz), the vocabulary
-is trained on the fly from the dataset's own descriptors (ops/kmeans) and
-cached in the dataset directory — fully self-contained and TPU-batched.
+Mirrors reference `opensfm/bow.py:11-76` including the pretrained
+vocabulary path: a shipped vocabulary (``opensfm_tpu/data/bow/``, named by
+``config["bow_file"]`` like the reference's
+``data/bow/bow_hahog_root_uchar_10000.npz``) is loaded when present —
+first from the dataset directory (user override), then from the package
+data directory.  When neither exists the vocabulary is trained on the fly
+from the dataset's own descriptors (ops/kmeans) and cached in the dataset
+directory — fully self-contained and TPU-batched.
 """
 
 from __future__ import annotations
@@ -18,6 +22,23 @@ logger = logging.getLogger(__name__)
 
 DEFAULT_WORDS = 1024
 TRAIN_SAMPLE = 200_000
+
+PACKAGE_VOCAB_DIR = os.path.join(os.path.dirname(__file__), "data", "bow")
+
+
+def resolve_vocabulary_path(filename: str, data=None) -> Optional[str]:
+    """Find a vocabulary file: dataset dir first (user override), then the
+    package data dir (reference: opensfm/context.py BOW_PATH)."""
+    if not filename:
+        return None
+    candidates = []
+    if data is not None:
+        candidates.append(os.path.join(data.data_path, filename))
+    candidates.append(os.path.join(PACKAGE_VOCAB_DIR, filename))
+    for path in candidates:
+        if os.path.isfile(path):
+            return path
+    return None
 
 
 class BagOfWords:
@@ -55,9 +76,15 @@ class BagOfWords:
         return float(np.abs(h1 - h2).sum())
 
 
-def load_bow_words_and_frequencies(config):
-    """Load a vocabulary file if configured and present (bow.py:52-62)."""
-    return None
+def load_bow_words_and_frequencies(config, data=None):
+    """Load the configured pretrained vocabulary if present (reference
+    bow.py:52-62 ``load_bow_words_and_frequencies``)."""
+    path = resolve_vocabulary_path(config.get("bow_file", ""), data)
+    if path is None:
+        return None
+    c = np.load(path)
+    logger.debug("Loaded BoW vocabulary %s", path)
+    return c["words"].astype(np.float32), c["frequencies"]
 
 
 def train_bag_of_words(
@@ -102,4 +129,9 @@ def train_bag_of_words(
 
 
 def load_vocabulary(data) -> BagOfWords:
+    """Pretrained vocabulary when available (config["bow_file"], reference
+    semantics), else the dataset-trained one."""
+    pretrained = load_bow_words_and_frequencies(data.config, data)
+    if pretrained is not None:
+        return BagOfWords(*pretrained)
     return train_bag_of_words(data)

@@ -65,12 +65,12 @@ DEFAULTS: Dict[str, Any] = dict(
     flann_tree=8,
     flann_checks=20,
     # -- BoW ----------------------------------------------------------------
-    bow_file="bow_hahog_root_uchar_10000.npz",
+    bow_file="bow_hahog_root_uchar_1024.npz",
     bow_words_to_match=50,
     bow_num_checks=20,
     bow_matcher_type="FLANN",
     # -- VLAD ---------------------------------------------------------------
-    vlad_file="bow_hahog_root_uchar_64.npz",
+    vlad_file="vlad_hahog_root_uchar_64.npz",
     # -- guided matching ----------------------------------------------------
     guided_spanning_trees=5,
     guided_spanning_trees_random=0.5,

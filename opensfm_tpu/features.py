@@ -223,22 +223,38 @@ def extract_features_dog(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """The TPU-native HAHOG/SIFT-class detector (ops/features.py), with the
     reference's adaptive peak-threshold annealing loop
-    (extract_features_sift, features.py:372-406)."""
+    (extract_features_sift, features.py:372-406).
+
+    feature_type=HAHOG runs the multi-scale Hessian response with dual
+    orientations (hahog.cc:139 VL_COVDET_METHOD_HESSIAN semantics);
+    feature_type=SIFT runs the classic DoG."""
     from opensfm_tpu.ops.features import extract_dog_features
 
+    feature_type = str(config.get("feature_type", "HAHOG")).upper()
     # Root+uchar on-device (uint8 descriptors come back 4x smaller).
     root_uchar = bool(
         config.get("feature_root")
         and config.get("hahog_normalize_to_uchar")
-        and str(config.get("feature_type", "HAHOG")).upper()
-        in ("HAHOG", "SIFT")
+        and feature_type in ("HAHOG", "SIFT")
     )
-    peak = float(config.get("sift_peak_threshold", 0.1)) / 10.0
-    min_peak = 0.0005
+    if feature_type == "HAHOG":
+        detector = "hessian"
+        n_orientations = 2
+        # hahog_peak_threshold is a det-of-Hessian response threshold
+        # (reference config.py default 1e-5); anneal from a detectability
+        # floor well above it so easy images stay selective.
+        peak = max(float(config.get("hahog_peak_threshold", 1e-5)), 1e-7)
+        min_peak = 1e-7
+    else:
+        detector = "dog"
+        n_orientations = 1
+        peak = float(config.get("sift_peak_threshold", 0.1)) / 10.0
+        min_peak = 0.0005
     while True:
         points, desc = extract_dog_features(
             image_gray, peak_threshold=peak, target_features=features_count,
-            root_uchar=root_uchar,
+            root_uchar=root_uchar, detector=detector,
+            n_orientations=n_orientations,
         )
         if len(points) >= features_count or peak <= min_peak:
             break

@@ -1,4 +1,5 @@
-"""Difference-of-Gaussians detector + SIFT-class descriptors in JAX.
+"""Scale-space detectors (DoG + multi-scale Hessian) and SIFT-class
+descriptors in JAX.
 
 TPU-native replacement for the reference's VLFeat HAHOG
 (pyfeatures.hahog, features/src/hahog.cc:1-206): the scale-space is built
@@ -8,10 +9,22 @@ batched gather + reduction over fixed-size patches — all with static shapes
 (fixed top-K keypoints per octave) so a single jit serves every image of a
 given processing size.
 
-v1 simplifications vs exact SIFT/HAHOG (documented, revisit for parity):
-- single dominant orientation per keypoint;
-- descriptor grid is axis-aligned; orientation normalization rotates the
-  gradient-orientation bins only (fine for mostly-upright capture).
+Detector parity with hahog.cc:
+- ``detector="hessian"`` detects extrema of the scale-normalized
+  determinant-of-Hessian response (VL_COVDET_METHOD_HESSIAN,
+  hahog.cc:139); ``detector="dog"`` is the classic SIFT DoG.
+- ``n_orientations=2`` emits up to two oriented copies per keypoint when a
+  secondary orientation-histogram peak reaches 80% of the dominant one
+  (vl_covdet_extract_orientations_for_frame, hahog.cc:92-122).
+- Keypoint locations are refined to subpixel by a 2x2 Newton step on the
+  response surface (VLFeat's frame refinement).
+
+Remaining simplification vs exact VLFeat (documented, tested for
+repeatability in tests/test_features_hahog.py): the descriptor grid is
+axis-aligned; orientation normalization rotates the gradient-orientation
+bins only (fine for mostly-upright capture).  The reference likewise does
+not run affine shape adaptation (hahog.cc never calls
+vl_covdet_extract_affine_shape), so frames are circular in both.
 """
 
 from __future__ import annotations
@@ -28,6 +41,7 @@ PATCH = 16  # descriptor patch size (octave pixels)
 N_ORI_BINS = 36
 DESC_SPATIAL = 4
 DESC_ORI = 8
+SECOND_PEAK_RATIO = 0.8  # VLFeat's threshold for secondary orientations
 
 
 def _gaussian_kernel(sigma: float, radius: int) -> np.ndarray:
@@ -96,11 +110,24 @@ def _minpool3(x: jnp.ndarray) -> jnp.ndarray:
     return _shift_reduce3(x, jnp.minimum, np.inf)
 
 
+def _hessian_maps(g: jnp.ndarray):
+    """Second-difference Hessian component maps (dxx, dyy, dxy)."""
+    dxx = jnp.roll(g, -1, 1) + jnp.roll(g, 1, 1) - 2 * g
+    dyy = jnp.roll(g, -1, 0) + jnp.roll(g, 1, 0) - 2 * g
+    dxy = 0.25 * (
+        jnp.roll(jnp.roll(g, -1, 0), -1, 1)
+        + jnp.roll(jnp.roll(g, 1, 0), 1, 1)
+        - jnp.roll(jnp.roll(g, -1, 0), 1, 1)
+        - jnp.roll(jnp.roll(g, 1, 0), -1, 1)
+    )
+    return dxx, dyy, dxy
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "k_per_octave", "n_octaves", "edge_threshold", "upsample",
-        "root_uchar",
+        "root_uchar", "detector", "n_orientations",
     ),
 )
 def detect_and_describe(
@@ -111,12 +138,18 @@ def detect_and_describe(
     edge_threshold: float = 10.0,
     upsample: bool = False,
     root_uchar: bool = False,
+    detector: str = "dog",
+    n_orientations: int = 1,
 ):
-    """Detect DoG keypoints and compute 128-d descriptors.
+    """Detect scale-space keypoints and compute 128-d descriptors.
 
     Returns (points[N, 4] (x_px, y_px, size_px, angle_deg in full-image
     pixel coords), descriptors[N, 128], valid[N]) with
-    N = k_per_octave * n_octaves.
+    N = k_per_octave * n_octaves * n_orientations.
+
+    `detector` selects the response: "dog" (SIFT) or "hessian"
+    (scale-normalized determinant of Hessian — the VLFeat covdet method
+    the reference's HAHOG uses, hahog.cc:139).
 
     `upsample` doubles the image on-device (the standard SIFT -1 octave);
     `root_uchar` applies the RootSIFT + x362 uchar quantization
@@ -124,6 +157,8 @@ def detect_and_describe(
     returns uint8 descriptors.  Together with uint8 input these cut the
     host<->device traffic ~8x (uint8 image up, uint8 descriptors down).
     """
+    if detector not in ("dog", "hessian"):
+        raise ValueError(f"unknown detector {detector!r}")
     if image.dtype == jnp.uint8:
         image = image.astype(jnp.float32) / 255.0
     if upsample:
@@ -152,10 +187,21 @@ def detect_and_describe(
             radius = max(int(3.0 * sig_extra + 0.5), 1)
             gauss.append(_sep_blur(gauss[-1], _gaussian_kernel(sig_extra, radius)))
             sig_prev = sig_total
-        dogs = [gauss[i + 1] - gauss[i] for i in range(N_SCALES + 2)]
+
+        # Response stack over which 3x3x3 extrema are detected.
+        if detector == "dog":
+            resp = [gauss[i + 1] - gauss[i] for i in range(N_SCALES + 2)]
+        else:
+            # Scale-normalized determinant of Hessian per Gaussian level
+            # (sigma^4 * det H — VLFeat covdet Hessian response).
+            resp = []
+            for i in range(N_SCALES + 2):
+                sig = sigma0 * (k_step**i)
+                dxx, dyy, dxy = _hessian_maps(gauss[i])
+                resp.append((sig**4) * (dxx * dyy - dxy * dxy))
 
         for s in range(1, N_SCALES + 1):
-            d_prev, d_cur, d_next = dogs[s - 1], dogs[s], dogs[s + 1]
+            d_prev, d_cur, d_next = resp[s - 1], resp[s], resp[s + 1]
             mx = jnp.maximum(jnp.maximum(_maxpool3(d_prev), _maxpool3(d_next)),
                              _maxpool3(d_cur))
             mn = jnp.minimum(jnp.minimum(_minpool3(d_prev), _minpool3(d_next)),
@@ -163,15 +209,9 @@ def detect_and_describe(
             is_max = (d_cur >= mx) & (d_cur > peak_threshold)
             is_min = (d_cur <= mn) & (d_cur < -peak_threshold)
 
-            # Edge rejection via the 2x2 Hessian of the DoG.
-            dxx = jnp.roll(d_cur, -1, 1) + jnp.roll(d_cur, 1, 1) - 2 * d_cur
-            dyy = jnp.roll(d_cur, -1, 0) + jnp.roll(d_cur, 1, 0) - 2 * d_cur
-            dxy = 0.25 * (
-                jnp.roll(jnp.roll(d_cur, -1, 0), -1, 1)
-                + jnp.roll(jnp.roll(d_cur, 1, 0), 1, 1)
-                - jnp.roll(jnp.roll(d_cur, -1, 0), 1, 1)
-                - jnp.roll(jnp.roll(d_cur, 1, 0), -1, 1)
-            )
+            # Edge (ridge) rejection via the 2x2 spatial Hessian of the
+            # response surface: curvature-ratio test.
+            dxx, dyy, dxy = _hessian_maps(d_cur)
             tr = dxx + dyy
             det = dxx * dyy - dxy * dxy
             r = edge_threshold
@@ -200,6 +240,32 @@ def detect_and_describe(
             ys = idx // W
             xs = idx % W
             valid = vals > 0.0
+
+            # --- subpixel refinement ------------------------------------
+            # Newton step on the response surface: offset = -H^-1 g from
+            # the gradient/Hessian gathered at the 9-tap neighborhood
+            # (VLFeat frame refinement; improves localisation ~0.2 px).
+            flat = d_cur.reshape(-1)
+            base_i = ys * W + xs
+
+            def tap(dy, dx):
+                return jnp.take(flat, base_i + dy * W + dx, axis=0)
+
+            c = tap(0, 0)
+            gx_k = 0.5 * (tap(0, 1) - tap(0, -1))
+            gy_k = 0.5 * (tap(1, 0) - tap(-1, 0))
+            hxx = tap(0, 1) + tap(0, -1) - 2 * c
+            hyy = tap(1, 0) + tap(-1, 0) - 2 * c
+            hxy = 0.25 * (tap(1, 1) + tap(-1, -1) - tap(1, -1) - tap(-1, 1))
+            det_h = hxx * hyy - hxy * hxy
+            inv_ok = jnp.abs(det_h) > 1e-20
+            det_safe = jnp.where(inv_ok, det_h, 1.0)
+            off_x = jnp.where(inv_ok, -(hyy * gx_k - hxy * gy_k) / det_safe, 0.0)
+            off_y = jnp.where(inv_ok, -(hxx * gy_k - hxy * gx_k) / det_safe, 0.0)
+            off_x = jnp.clip(off_x, -0.6, 0.6)
+            off_y = jnp.clip(off_y, -0.6, 0.6)
+            xs_sub = xs.astype(dtype) + off_x.astype(dtype)
+            ys_sub = ys.astype(dtype) + off_y.astype(dtype)
 
             # --- dense descriptor fields -------------------------------------
             # TPU-native restructure: instead of extracting a 16x16 patch per
@@ -272,68 +338,98 @@ def detect_and_describe(
             w2d = jnp.asarray(np.outer(wcell, wcell), dtype)  # [4, 4]
             cells = cells * w2d[None, :, :, None]
 
-            # Dominant orientation from the summed (gaussian-weighted) cell
-            # histograms — the 16-cell sum IS the patch orientation histogram
-            # (SIFT's orientation window ~ the descriptor patch window), so
-            # one dense field serves both. argmax bin + parabolic refinement.
+            # Orientation histogram: the 16-cell sum IS the patch
+            # orientation histogram (SIFT's orientation window ~ the
+            # descriptor patch window), so one dense field serves both.
             hist8 = jnp.sum(cells, axis=(1, 2))  # [K, 8]
-            hb = jnp.argmax(hist8, axis=1)
-            hprev = jnp.take_along_axis(
-                hist8, ((hb - 1) % DESC_ORI)[:, None], axis=1
-            )[:, 0]
-            hnext = jnp.take_along_axis(
-                hist8, ((hb + 1) % DESC_ORI)[:, None], axis=1
-            )[:, 0]
-            hmax = jnp.take_along_axis(hist8, hb[:, None], axis=1)[:, 0]
-            denom = hprev - 2 * hmax + hnext
-            frac = jnp.where(
-                jnp.abs(denom) > 1e-12, 0.5 * (hprev - hnext) / denom, 0.0
-            )
-            frac = jnp.clip(frac, -0.5, 0.5)
-            theta = (
-                (hb.astype(dtype) + 0.5 + frac) / DESC_ORI * 2 * jnp.pi - jnp.pi
-            )
 
-            # Rotate orientation bins to the dominant orientation: a
-            # fractional circular shift, linear interp between bins.
-            shift = (theta + jnp.pi) / (2 * jnp.pi) * DESC_ORI - 0.5
-            s0 = jnp.floor(shift).astype(jnp.int32)
-            sf = (shift - s0.astype(dtype))[:, None, None, None]
-            obins = jnp.arange(DESC_ORI, dtype=jnp.int32)
-            idx0 = (obins[None] + s0[:, None]) % DESC_ORI  # [K, 8]
-            idx1 = (idx0 + 1) % DESC_ORI
-            g0 = jnp.take_along_axis(
-                cells.reshape(-1, DESC_SPATIAL * DESC_SPATIAL, DESC_ORI),
-                idx0[:, None, :].repeat(DESC_SPATIAL * DESC_SPATIAL, 1),
-                axis=2,
-            ).reshape(cells.shape)
-            g1 = jnp.take_along_axis(
-                cells.reshape(-1, DESC_SPATIAL * DESC_SPATIAL, DESC_ORI),
-                idx1[:, None, :].repeat(DESC_SPATIAL * DESC_SPATIAL, 1),
-                axis=2,
-            ).reshape(cells.shape)
-            desc = ((1 - sf) * g0 + sf * g1).reshape(-1, 128)
+            def peak_theta(hist, hb):
+                """Parabolic-refined angle of histogram bin hb."""
+                hprev = jnp.take_along_axis(
+                    hist, ((hb - 1) % DESC_ORI)[:, None], axis=1
+                )[:, 0]
+                hnext = jnp.take_along_axis(
+                    hist, ((hb + 1) % DESC_ORI)[:, None], axis=1
+                )[:, 0]
+                hmax = jnp.take_along_axis(hist, hb[:, None], axis=1)[:, 0]
+                denom = hprev - 2 * hmax + hnext
+                frac = jnp.where(
+                    jnp.abs(denom) > 1e-12, 0.5 * (hprev - hnext) / denom, 0.0
+                )
+                frac = jnp.clip(frac, -0.5, 0.5)
+                return (
+                    (hb.astype(dtype) + 0.5 + frac) / DESC_ORI * 2 * jnp.pi
+                    - jnp.pi
+                ), hmax
 
-            # SIFT normalization: L2, clip 0.2, renormalize.
-            norm = jnp.linalg.norm(desc, axis=1, keepdims=True)
-            desc = desc / jnp.maximum(norm, 1e-12)
-            desc = jnp.minimum(desc, 0.2)
-            norm = jnp.linalg.norm(desc, axis=1, keepdims=True)
-            desc = desc / jnp.maximum(norm, 1e-12)
+            def oriented_descriptor(theta):
+                """Descriptor with orientation bins rotated to theta: a
+                fractional circular shift, linear interp between bins."""
+                shift = (theta + jnp.pi) / (2 * jnp.pi) * DESC_ORI - 0.5
+                s0 = jnp.floor(shift).astype(jnp.int32)
+                sf = (shift - s0.astype(dtype))[:, None, None, None]
+                obins = jnp.arange(DESC_ORI, dtype=jnp.int32)
+                idx0 = (obins[None] + s0[:, None]) % DESC_ORI  # [K, 8]
+                idx1 = (idx0 + 1) % DESC_ORI
+                flat_cells = cells.reshape(
+                    -1, DESC_SPATIAL * DESC_SPATIAL, DESC_ORI
+                )
+                g0 = jnp.take_along_axis(
+                    flat_cells,
+                    idx0[:, None, :].repeat(DESC_SPATIAL * DESC_SPATIAL, 1),
+                    axis=2,
+                ).reshape(cells.shape)
+                g1 = jnp.take_along_axis(
+                    flat_cells,
+                    idx1[:, None, :].repeat(DESC_SPATIAL * DESC_SPATIAL, 1),
+                    axis=2,
+                ).reshape(cells.shape)
+                desc = ((1 - sf) * g0 + sf * g1).reshape(-1, 128)
+                # SIFT normalization: L2, clip 0.2, renormalize.
+                norm = jnp.linalg.norm(desc, axis=1, keepdims=True)
+                desc = desc / jnp.maximum(norm, 1e-12)
+                desc = jnp.minimum(desc, 0.2)
+                norm = jnp.linalg.norm(desc, axis=1, keepdims=True)
+                return desc / jnp.maximum(norm, 1e-12)
+
+            hb1 = jnp.argmax(hist8, axis=1)
+            theta1, hmax1 = peak_theta(hist8, hb1)
 
             scale_px = sigma0 * (k_step**s) * (2.0**octave) * 2.0
-            pts = jnp.stack(
-                [
-                    xs.astype(dtype) * (2.0**octave),
-                    ys.astype(dtype) * (2.0**octave),
-                    jnp.full(xs.shape, scale_px, dtype=dtype),
-                    jnp.degrees(theta),
-                ],
-                axis=1,
-            )
-            all_pts.append(pts)
-            all_desc.append(desc)
+
+            def keypoint_rows(theta):
+                return jnp.stack(
+                    [
+                        xs_sub * (2.0**octave),
+                        ys_sub * (2.0**octave),
+                        jnp.full(xs.shape, scale_px, dtype=dtype),
+                        jnp.degrees(theta),
+                    ],
+                    axis=1,
+                )
+
+            all_pts.append(keypoint_rows(theta1))
+            all_desc.append(oriented_descriptor(theta1))
             all_valid.append(valid)
+
+            if n_orientations >= 2:
+                # Secondary orientation: best non-adjacent bin, kept when
+                # its peak reaches SECOND_PEAK_RATIO of the dominant
+                # (hahog.cc's multiple-orientation frames).
+                adj = jnp.stack(
+                    [(hb1 - 1) % DESC_ORI, hb1, (hb1 + 1) % DESC_ORI], axis=1
+                )
+                bins = jnp.arange(DESC_ORI, dtype=hb1.dtype)[None, :]
+                masked = jnp.where(
+                    jnp.any(bins[:, :, None] == adj[:, None, :], axis=2),
+                    -jnp.inf, hist8,
+                )
+                hb2 = jnp.argmax(masked, axis=1)
+                theta2, hmax2 = peak_theta(hist8, hb2)
+                valid2 = valid & (hmax2 > SECOND_PEAK_RATIO * hmax1)
+                all_pts.append(keypoint_rows(theta2))
+                all_desc.append(oriented_descriptor(theta2))
+                all_valid.append(valid2)
 
         # Next octave: downsample the 2x-blurred level.
         octave_img = gauss[N_SCALES][::2, ::2]
@@ -359,6 +455,8 @@ def extract_dog_features(
     target_features: int = 4000,
     upsample: bool = True,
     root_uchar: bool = False,
+    detector: str = "dog",
+    n_orientations: int = 1,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Host wrapper: pad to a static bucket, run the jitted detector, strip
     invalid keypoints.  Returns (points[N,4] pixel coords, desc[N,128];
@@ -384,11 +482,12 @@ def extract_dog_features(
 
     n_octaves = max(int(np.log2(min(H, W) / 32)), 1)
     n_octaves = min(n_octaves, 6)
-    k_per_octave = int(target_features * 3 // n_octaves)
+    k_per_octave = int(target_features * 3 // (n_octaves * max(n_orientations, 1)))
 
     pts, desc, valid = detect_and_describe(
         jnp.asarray(padded), float(peak_threshold), k_per_octave, n_octaves,
-        upsample=upsample, root_uchar=root_uchar,
+        upsample=upsample, root_uchar=root_uchar, detector=detector,
+        n_orientations=n_orientations,
     )
     pts = np.asarray(pts)
     desc = np.asarray(desc)

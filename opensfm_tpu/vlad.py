@@ -73,8 +73,17 @@ class VladCache:
 
     def load_words(self, data) -> np.ndarray:
         if self._centers is None:
+            from opensfm_tpu.bow import resolve_vocabulary_path
+
+            # Pretrained vocabulary (config["vlad_file"], reference
+            # vlad.py:57 load_words) takes precedence.
+            pretrained = resolve_vocabulary_path(
+                data.config.get("vlad_file", ""), data
+            )
             cache = os.path.join(data.data_path, "vlad_vocabulary.npz")
-            if os.path.isfile(cache):
+            if pretrained is not None:
+                self._centers = np.load(pretrained)["words"].astype(np.float32)
+            elif os.path.isfile(cache):
                 self._centers = np.load(cache)["words"]
             else:
                 from opensfm_tpu.bow import TRAIN_SAMPLE
