@@ -156,23 +156,33 @@ def bench_features(jax, jnp):
     n = 8
     k_per_octave = 4000 * 3 // 5
 
-    @jax.jit
-    def run_frames(image):
-        def body(i, acc):
-            p, d, v = detect_and_describe(
-                image + i.astype(jnp.uint8), 0.01, k_per_octave, 5,
-                upsample=True, root_uchar=False,
-            )
-            return acc + jnp.sum(v)
+    def make_run(detector, n_orientations):
+        @jax.jit
+        def run_frames(image):
+            def body(i, acc):
+                p, d, v = detect_and_describe(
+                    image + i.astype(jnp.uint8), 0.01, k_per_octave, 5,
+                    upsample=True, root_uchar=False, detector=detector,
+                    n_orientations=n_orientations,
+                )
+                return acc + jnp.sum(v)
 
-        return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.int32))
+            return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.int32))
+
+        return run_frames
 
     dev_img = jnp.asarray(img)
-    np.asarray(run_frames(dev_img))  # warmup/compile
-    t0 = time.time()
-    np.asarray(run_frames(dev_img))
-    dt = time.time() - t0
-    return n / dt, len(pts)
+    rates = {}
+    for name, detector, n_ori in (
+        ("dog", "dog", 1),
+        ("hahog", "hessian", 2),  # the production default (feature_type=HAHOG)
+    ):
+        run = make_run(detector, n_ori)
+        np.asarray(run(dev_img))  # warmup/compile
+        t0 = time.time()
+        np.asarray(run(dev_img))
+        rates[name] = n / (time.time() - t0)
+    return rates, len(pts)
 
 
 def bench_matching(jax, jnp):
@@ -211,8 +221,9 @@ def main() -> None:
 
     ba_rate, extra = bench_ba(jax, jnp)
     try:
-        frames_rate, n_feats = bench_features(jax, jnp)
-        extra["feature_frames_per_s"] = round(frames_rate, 2)
+        frame_rates, n_feats = bench_features(jax, jnp)
+        extra["feature_frames_per_s"] = round(frame_rates["dog"], 2)
+        extra["feature_frames_per_s_hahog"] = round(frame_rates["hahog"], 2)
         extra["feature_count_1024px"] = int(n_feats)
     except Exception as e:  # pragma: no cover
         print(f"feature bench failed: {e}", file=sys.stderr)
