@@ -46,13 +46,12 @@ def _device_peak(device) -> float:
     return 197e12  # v5e-class default
 
 
-def bench_ba(jax, jnp):
+def bench_ba(jax, jnp, n_shots=64, n_points=8192, iters=20):
     from functools import partial
 
     from __graft_entry__ import _make_problem
     from opensfm_tpu.ba import lm
 
-    n_shots, n_points = 64, 8192
     problem, dense = lm.canonicalize_problem_dense(
         _make_problem(n_shots=n_shots, n_points=n_points, seed=0)
     )
@@ -89,7 +88,6 @@ def bench_ba(jax, jnp):
     statics = dict(
         ptype="perspective", loss="SoftLOneLoss", loss_threshold=1.0, pmax=pmax
     )
-    iters = 20
 
     @partial(jax.jit, static_argnames=tuple(statics) + ("ni", "nr", "nc"))
     def run_n(state, data, lam, ptype, loss, loss_threshold, pmax, ni, nr, nc):
@@ -220,6 +218,22 @@ def main() -> None:
     import jax.numpy as jnp
 
     ba_rate, extra = bench_ba(jax, jnp)
+    try:
+        # Throughput-bound lane: 256 cameras / 32k points / 8.4M observation
+        # slots (~0.47 TFLOP/iter, dominated by the S_II Schur contraction)
+        # — large enough that the MXU, not dispatch latency, sets the rate.
+        large_rate, large_extra = bench_ba(
+            jax, jnp, n_shots=256, n_points=32768, iters=5
+        )
+        extra["ba_iterations_per_s_large"] = round(large_rate, 2)
+        extra["ba_large_mfu_vs_bf16_peak"] = large_extra.get(
+            "ba_mfu_vs_bf16_peak"
+        )
+        extra["ba_large_achieved_tflops"] = large_extra.get(
+            "ba_achieved_tflops"
+        )
+    except Exception as e:  # pragma: no cover
+        print(f"large BA bench failed: {e}", file=sys.stderr)
     try:
         frame_rates, n_feats = bench_features(jax, jnp)
         extra["feature_frames_per_s"] = round(frame_rates["dog"], 2)

@@ -31,10 +31,12 @@ def opensfm_commands():
         mesh,
         reconstruct,
         reconstruct_from_prior,
+        run_all,
         undistort,
     )
 
     return [
+        run_all.Command(),
         extract_metadata.Command(),
         detect_features.Command(),
         match_features.Command(),

