@@ -1047,7 +1047,10 @@ def _build_reduced_system(state, data, lam, ptype, loss, loss_threshold,
         and not rig_transform
         and not with_depth
         and pmax == 3
-        and ni <= 64
+        # VMEM ceiling: the kernel keeps the [6ni, 6ni] Schur accumulator
+        # resident (9.4 MB at ni=256; vmem_limit_bytes raised accordingly
+        # in ba_assemble.py).
+        and ni <= 256
         and dtype == jnp.float32
         and np_pts % 128 == 0
         and jax.default_backend() == "tpu"

@@ -350,6 +350,11 @@ def fused_schur_assembly(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # The [6ni, 6ni] S_II accumulator + its output block dominate
+            # scoped VMEM (2 x 9.4 MB at ni=256); the default 16 MB scope
+            # caps the kernel at ni=64.  v5e has 128 MB of VMEM — allow up
+            # to ni=256 (~28 MB peak).
+            vmem_limit_bytes=96 * 1024 * 1024,
         ),
         interpret=interpret,
     )(u, v, isd, xr[0], xr[1], xr[2], inst_t, cam_row,
