@@ -1,19 +1,43 @@
 """Multi-device scaling measurement (invoked by bench.py in a subprocess).
 
-Runs the dense sharded LM step on a virtual CPU mesh at 1 and N devices
-over the SAME global problem (strong scaling).  On the single-host CI/bench
-machine the virtual devices share physical cores, so the printed efficiency
-is a lower bound for real multi-chip ICI scaling (where each device has its
-own compute); it mainly validates that the sharded program and collectives
-hold up at size.  Prints one JSON line.
+Strong-scales the camera-block-sparse CG LM step — the path built to scale
+(per-CG-iteration collective is a [NI,6]+[NC,P] psum, independent of the
+point count) — at the bench's large lane: 256 cameras, 32,768 points,
+track length 8 (262,144 observations).
+
+Two lanes, because a single shared-memory host cannot fake a pod:
+
+1. `partition_overhead` (this process): the N-way sharded program vs the
+   unsharded program on the SAME all-core machine.  Compute resources are
+   identical, so any slowdown isolates the cost of partitioning +
+   collectives — the quantity that bounds real multi-chip efficiency from
+   the communication side.  (Round 2's "strong scaling" lane compared
+   multi-threaded runs on shared cores and measured nothing but
+   contention; this is the honest decomposition.)
+2. `two_process_strong_scaling` (re-exec subprocesses): one
+   single-device process pinned to core 0 vs TWO single-device processes
+   pinned to cores 0+1 joined by jax.distributed — separate XLA thread
+   pools per process (a shared-pool virtual mesh serializes its devices),
+   psums crossing the OS-process boundary.  Genuine strong scaling within
+   what one host can emulate.
+
+Also reports the per-CG-iteration collective payload and measured
+per-CG-iteration compute time, and derives the predicted multi-chip
+communication fraction on ICI (payload / bandwidth vs compute) — the
+model's scaling story for hardware this host cannot emulate.
+
+Prints one JSON line.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-N_DEV = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+N_DEV_REQ = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+DIST_ROLE = os.environ.get("BENCH_SCALING_DIST")  # None | "solo" | "0" | "1"
+N_DEV = 1 if DIST_ROLE is not None else N_DEV_REQ
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
@@ -32,37 +56,55 @@ from jax.sharding import Mesh
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from __graft_entry__ import _make_problem
-from opensfm_tpu.parallel import make_sharded_lm_step_dense, shard_problem_dense
+from opensfm_tpu.parallel import make_sharded_cg_lm_step, shard_problem
+from opensfm_tpu.parallel.distributed_ba import _cg_args
+
+N_SHOTS = 256
+N_POINTS = 32768
+TRACK_LEN = 8
+CG_ITERS = 30
+
+# ICI model constants for the predicted multi-chip communication fraction:
+# one bidirectional v5e ICI link sustains ~45 GB/susable each way; a ring
+# all-reduce moves ~2 * payload bytes per device, plus ~5 us launch latency
+# per collective (two psums per CG iteration: the [NI,6] and [NC,P]
+# families).
+ICI_BYTES_PER_S = 45e9
+COLLECTIVE_LATENCY_S = 5e-6
+PSUMS_PER_CG_ITER = 2
+
+_BASE = _make_problem(
+    n_shots=N_SHOTS, n_points=N_POINTS, seed=0, track_window=TRACK_LEN
+)
 
 
-def measure(n_devices: int, reps: int = 5) -> float:
+def _step_and_args(n_devices: int, cg_iters: int):
     devices = np.array(jax.devices()[:n_devices])
     mesh = Mesh(devices, ("points",))
-    problem, _ = shard_problem_dense(
-        _make_problem(n_shots=32, n_points=4096), n_devices
-    )
+    problem = shard_problem(_BASE, n_devices)
     ni, nr, nc, npts, O, T = problem.counts()
     pmax = problem.cam.shape[1]
-    dt = jnp.float32
-    step = make_sharded_lm_step_dense(mesh, "points", ni, nr, nc, pmax)
-    args = (
-        jnp.asarray(problem.inst, dt), jnp.asarray(problem.rigcam, dt),
-        jnp.asarray(problem.cam, dt), jnp.asarray(problem.points, dt),
-        jnp.asarray(problem.obs_uv, dt), jnp.asarray(problem.obs_inv_sd, dt),
-        jnp.asarray(problem.point_prior, dt),
-        jnp.asarray(problem.point_prior_inv_sd, dt),
-        jnp.asarray(problem.opt_points, bool),
-        jnp.asarray(problem.gps_pos, dt), jnp.asarray(problem.gps_inv_sd, dt),
-        jnp.asarray(problem.cam_prior, dt),
-        jnp.asarray(problem.cam_prior_inv_sd, dt),
-        jnp.asarray(problem.cam_log_mask, bool),
-        jnp.asarray(problem.rigcam_prior, dt),
-        jnp.asarray(problem.rigcam_prior_inv_sd, dt),
-        jnp.asarray(problem.opt_inst, bool),
-        jnp.asarray(problem.opt_rigcam, bool),
-        jnp.asarray(problem.opt_cam, bool),
-        jnp.asarray(1e-4, dt),
+    # cg_tol=0 pins the while_loop at exactly cg_iters iterations so the
+    # timing is deterministic and per-iteration math is exact.
+    step = make_sharded_cg_lm_step(
+        mesh, "points", "perspective", pmax, ni, nc,
+        cg_iters=cg_iters, cg_tol=0.0,
     )
+    a = _cg_args(problem, n_devices, jnp.float32)
+    lam = jnp.asarray(1e-4, jnp.float32)
+    args = (
+        a["inst"], a["cam"], a["points"], a["obs_uv"], a["obs_inv_sd"],
+        a["obs_point"], a["obs_inst"], a["obs_cam"], a["gps_pos"],
+        a["gps_inv_sd"], a["cam_prior"], a["cam_prior_inv_sd"],
+        a["cam_log_mask"], a["point_prior"], a["point_prior_inv_sd"],
+        a["point_prior_loss"], a["opt_inst"], a["opt_cam"],
+        a["opt_points"], lam, a["point_base"],
+    )
+    return step, args, (ni, nc, pmax)
+
+
+def measure(n_devices: int, cg_iters: int = CG_ITERS, reps: int = 3) -> float:
+    step, args, _ = _step_and_args(n_devices, cg_iters)
     out = step(*args)
     jax.block_until_ready(out)  # warmup/compile
     t0 = time.time()
@@ -72,18 +114,183 @@ def measure(n_devices: int, reps: int = 5) -> float:
     return reps / (time.time() - t0)
 
 
+def _dist_main() -> None:
+    """One strong-scaling participant: a single-device process pinned (by
+    the parent, via taskset) to one core.  "solo" is the 1-core baseline;
+    "0"/"1" are the two jax.distributed processes whose psums cross the
+    OS-process boundary — each with its OWN XLA thread pool, which is what
+    the shared-pool virtual mesh cannot provide."""
+    if DIST_ROLE == "solo":
+        rate = measure(1, reps=3)
+        print(json.dumps({"rate": rate}), flush=True)
+        return
+
+    port = os.environ["BENCH_SCALING_PORT"]
+    pid = int(DIST_ROLE)
+    jax.distributed.initialize(
+        coordinator_address=f"localhost:{port}", num_processes=2,
+        process_id=pid,
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_proc = 2
+    devices = np.array(jax.devices())
+    mesh = Mesh(devices, ("points",))
+    problem = shard_problem(_BASE, n_proc)
+    ni, nr, nc, npts, O, T = problem.counts()
+    pmax = problem.cam.shape[1]
+    step = make_sharded_cg_lm_step(
+        mesh, "points", "perspective", pmax, ni, nc,
+        cg_iters=CG_ITERS, cg_tol=0.0,
+    )
+    a = _cg_args(problem, n_proc, jnp.float32)
+    rep = NamedSharding(mesh, P())
+    sh = NamedSharding(mesh, P("points"))
+    sharded_names = {
+        "points", "obs_uv", "obs_inv_sd", "obs_point", "obs_inst",
+        "obs_cam", "point_prior", "point_prior_inv_sd",
+        "point_prior_loss", "opt_points", "point_base",
+    }
+
+    def globalize(name, x):
+        x = np.asarray(x)
+        sharding = sh if name in sharded_names else rep
+        return jax.make_array_from_callback(
+            x.shape, sharding, lambda index: x[index]
+        )
+
+    order = (
+        "inst", "cam", "points", "obs_uv", "obs_inv_sd", "obs_point",
+        "obs_inst", "obs_cam", "gps_pos", "gps_inv_sd", "cam_prior",
+        "cam_prior_inv_sd", "cam_log_mask", "point_prior",
+        "point_prior_inv_sd", "point_prior_loss", "opt_inst", "opt_cam",
+        "opt_points",
+    )
+    args = [globalize(k, a[k]) for k in order]
+    args.append(globalize("lam", np.float32(1e-4)))
+    args.append(globalize("point_base", a["point_base"]))
+    out = step(*args)
+    jax.block_until_ready(out)  # warmup/compile
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        out = step(*args)
+    jax.block_until_ready(out)
+    rate = reps / (time.time() - t0)
+    if pid == 0:
+        print(json.dumps({"rate": rate}), flush=True)
+    jax.distributed.shutdown()
+
+
+def _parse_rate(stdout: str):
+    for line in stdout.strip().splitlines()[::-1]:
+        if line.startswith("{"):
+            return json.loads(line).get("rate")
+    return None
+
+
+def _two_process_strong_scaling():
+    """1 process on core 0 vs 2 processes on cores 0+1 (jax.distributed):
+    genuine strong scaling — separate thread pools, psums over the process
+    boundary (the CI stand-in for 2 hosts over DCN)."""
+    import socket
+
+    if (os.cpu_count() or 1) < 2:
+        return None
+    script = os.path.abspath(__file__)
+
+    def run(role, extra_env, cores):
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env["BENCH_SCALING_DIST"] = role
+        env.update(extra_env)
+        return subprocess.Popen(
+            ["taskset", "-c", cores, sys.executable, script, "1"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env,
+        )
+
+    try:
+        solo = run("solo", {}, "0")
+        out, _ = solo.communicate(timeout=1200)
+        r_solo = _parse_rate(out)
+
+        s = socket.socket()
+        s.bind(("localhost", 0))
+        port = str(s.getsockname()[1])
+        s.close()
+        procs = [
+            run(str(i), {"BENCH_SCALING_PORT": port}, str(i))
+            for i in range(2)
+        ]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=1200)
+            outs.append(out)
+        r_pair = _parse_rate(outs[0])
+        if not r_solo or not r_pair:
+            return None
+        return {
+            "metric": "two_process_strong_scaling",
+            "processes": 2,
+            "iter_per_s_1core_1proc": round(r_solo, 3),
+            "iter_per_s_2core_2proc": round(r_pair, 3),
+            "speedup": round(r_pair / r_solo, 2),
+            "efficiency": round(r_pair / (2 * r_solo), 4),
+        }
+    except Exception:
+        return None
+
+
 def main() -> None:
+    if DIST_ROLE is not None:
+        _dist_main()
+        return
+
     r1 = measure(1)
     rN = measure(N_DEV)
+
+    # Per-CG-iteration wall time from two fixed iteration budgets (the
+    # step's non-CG work — residuals/Jacobians, preconditioner setup,
+    # back-substitution — cancels in the difference).
+    lo, hi = 10, 60
+    t_lo = 1.0 / measure(N_DEV, cg_iters=lo, reps=3)
+    t_hi = 1.0 / measure(N_DEV, cg_iters=hi, reps=3)
+    per_cg_iter_s = max((t_hi - t_lo) / (hi - lo), 1e-9)
+
+    # The collective payload each CG iteration psums: the [NI,6] instance
+    # and [NC,P] camera vectors (f32).  Point-count independent — the
+    # design property that makes this the scalable path.
+    _, _, (ni, nc, pmax) = _step_and_args(N_DEV, CG_ITERS)
+    payload_bytes = (ni * 6 + nc * pmax) * 4
+    comm_s = (
+        2.0 * payload_bytes / ICI_BYTES_PER_S
+        + PSUMS_PER_CG_ITER * COLLECTIVE_LATENCY_S
+    )
+    predicted_comm_fraction = comm_s / (comm_s + per_cg_iter_s)
+
+    scaling = _two_process_strong_scaling()
+
     print(
         json.dumps(
             {
-                "metric": "cpu_mesh_strong_scaling",
+                "metric": "cg_partition_overhead",
                 "devices": N_DEV,
-                "iter_per_s_1dev": round(r1, 3),
-                f"iter_per_s_{N_DEV}dev": round(rN, 3),
-                "efficiency": round(rN / (r1 * N_DEV), 4),
-                "speedup": round(rN / r1, 2),
+                "problem": {
+                    "shots": N_SHOTS,
+                    "points": N_POINTS,
+                    "obs": N_POINTS * TRACK_LEN,
+                    "cg_iters": CG_ITERS,
+                },
+                "iter_per_s_unsharded": round(r1, 3),
+                f"iter_per_s_{N_DEV}way_sharded": round(rN, 3),
+                "partition_overhead": round(max(1.0 - rN / r1, 0.0), 4),
+                "per_cg_iter_ms": round(per_cg_iter_s * 1e3, 3),
+                "cg_psum_payload_bytes": payload_bytes,
+                "predicted_multichip_comm_fraction": round(
+                    predicted_comm_fraction, 5
+                ),
+                "two_process_strong_scaling": scaling,
             }
         )
     )

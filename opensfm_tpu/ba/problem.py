@@ -533,6 +533,49 @@ def _add_gcp(builder: _Builder, gcp, config, dominant_terms: int):
     return extra_coords
 
 
+def _solve_full_bundle(problem, config: Dict[str, Any], n_shots: int):
+    """Route a full-map bundle to the distributed camera-block-sparse CG
+    solver when configured and profitable, else the single-device solver.
+
+    `bundle_distributed: auto` uses the mesh-sharded solver once the map
+    exceeds `bundle_distributed_min_shots` and >1 device is visible;
+    `yes` forces it whenever the problem is CG-compatible; `no` (or an
+    incompatible problem — rigs, mixed camera types, up-vector rows)
+    falls back.  This is the user-reachable scale path replacing the
+    reference's submodel split/merge (large/tools.py:278-328)."""
+    max_iterations = int(config["bundle_max_iterations"])
+    mode = str(config.get("bundle_distributed", "auto")).lower()
+    if mode in ("yes", "true", "1", "auto"):
+        import jax
+
+        n_dev = len(jax.devices())
+        min_shots = int(config.get("bundle_distributed_min_shots", 100))
+        wanted = mode != "auto" or n_shots >= min_shots
+        if n_dev > 1 and wanted:
+            from opensfm_tpu.parallel.distributed_ba import (
+                bundle_adjust_sharded,
+                check_cg_compatible,
+            )
+
+            reason = check_cg_compatible(problem)
+            if reason is None:
+                logger.info(
+                    "Distributed BA over %d devices (%d shots)",
+                    n_dev, n_shots,
+                )
+                return bundle_adjust_sharded(
+                    problem, max_iterations=max_iterations,
+                    cg_iters=int(
+                        config.get("bundle_distributed_cg_iters", 100)
+                    ),
+                )
+            logger.info(
+                "Distributed BA unavailable (%s); using the "
+                "single-device solver", reason,
+            )
+    return bundle_adjust(problem, max_iterations=max_iterations)
+
+
 def bundle(
     reconstruction: types.Reconstruction,
     camera_priors: Dict[str, Any],
@@ -590,8 +633,8 @@ def bundle(
 
     problem = builder.build(extra_coords)
     setup_time = time.time() - start
-    result = bundle_adjust(
-        problem, max_iterations=int(config["bundle_max_iterations"])
+    result = _solve_full_bundle(
+        problem, config, n_shots=len(builder.inst_ids)
     )
     run_time = time.time() - start - setup_time
     builder.writeback(result)

@@ -128,10 +128,35 @@ def train_bag_of_words(
     return bow
 
 
+def descriptor_domain_matches_packaged_vocab(config) -> bool:
+    """The packaged vocabularies are trained on root+uchar HAHOG/SIFT
+    descriptors (uint8 scale, x362 quantization).  Float-scale configs
+    (feature_root off, SIFT_CV/ORB/AKAZE/SURF) live on a different scale
+    where those centroids degrade pair ranking — train locally instead."""
+    feature_type = str(config.get("feature_type", "HAHOG")).upper()
+    return (
+        feature_type in ("HAHOG", "SIFT")
+        and bool(config.get("feature_root", True))
+        and bool(config.get("hahog_normalize_to_uchar", True))
+    )
+
+
 def load_vocabulary(data) -> BagOfWords:
     """Pretrained vocabulary when available (config["bow_file"], reference
-    semantics), else the dataset-trained one."""
-    pretrained = load_bow_words_and_frequencies(data.config, data)
-    if pretrained is not None:
-        return BagOfWords(*pretrained)
+    semantics), else the dataset-trained one.
+
+    A dataset-local vocabulary file always wins (explicit user override);
+    the packaged vocabulary is used only when the descriptor domain matches
+    what it was trained on (root-uchar HAHOG/SIFT)."""
+    filename = data.config.get("bow_file", "")
+    local = (
+        os.path.join(data.data_path, filename) if filename else None
+    )
+    if local and os.path.isfile(local):
+        c = np.load(local)
+        return BagOfWords(c["words"].astype(np.float32), c["frequencies"])
+    if descriptor_domain_matches_packaged_vocab(data.config):
+        pretrained = load_bow_words_and_frequencies(data.config, data)
+        if pretrained is not None:
+            return BagOfWords(*pretrained)
     return train_bag_of_words(data)

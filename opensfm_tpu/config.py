@@ -152,6 +152,15 @@ DEFAULTS: Dict[str, Any] = dict(
     local_bundle_radius=3,
     local_bundle_min_common_points=20,
     local_bundle_max_shots=30,
+    # Distributed full-map BA over all visible devices (TPU-native
+    # replacement for the reference's submodel split, large/tools.py:278):
+    # "auto" routes global bundles through the camera-block-sparse CG
+    # solver once the map exceeds bundle_distributed_min_shots and more
+    # than one device is present; "yes" forces it whenever compatible;
+    # "no" always uses the single-device Schur solver.
+    bundle_distributed="auto",
+    bundle_distributed_min_shots=100,
+    bundle_distributed_cg_iters=100,
     filter_final_point_cloud=False,
     save_partial_reconstructions=False,
     # -- GPS alignment ------------------------------------------------------

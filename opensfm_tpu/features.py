@@ -240,6 +240,7 @@ def extract_features_dog(
     if feature_type == "HAHOG":
         detector = "hessian"
         n_orientations = 2
+        edge_threshold = float(config.get("hahog_edge_threshold", 10.0))
         # hahog_peak_threshold is a det-of-Hessian response threshold
         # (reference config.py default 1e-5); anneal from a detectability
         # floor well above it so easy images stay selective.
@@ -248,13 +249,14 @@ def extract_features_dog(
     else:
         detector = "dog"
         n_orientations = 1
+        edge_threshold = float(config.get("sift_edge_threshold", 10.0))
         peak = float(config.get("sift_peak_threshold", 0.1)) / 10.0
         min_peak = 0.0005
     while True:
         points, desc = extract_dog_features(
             image_gray, peak_threshold=peak, target_features=features_count,
             root_uchar=root_uchar, detector=detector,
-            n_orientations=n_orientations,
+            n_orientations=n_orientations, edge_threshold=edge_threshold,
         )
         if len(points) >= features_count or peak <= min_peak:
             break

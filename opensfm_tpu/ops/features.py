@@ -246,7 +246,13 @@ def detect_and_describe(
             # the gradient/Hessian gathered at the 9-tap neighborhood
             # (VLFeat frame refinement; improves localisation ~0.2 px).
             flat = d_cur.reshape(-1)
-            base_i = ys * W + xs
+            # Invalid/padding slots may carry idx 0 (image corner); clamp the
+            # tap center into the interior so the 9-tap neighborhood below
+            # never reads out of range (valid keypoints are already interior
+            # via the `border` mask, so this only moves dead slots).
+            ys_c = jnp.clip(ys, 1, H - 2)
+            xs_c = jnp.clip(xs, 1, W - 2)
+            base_i = ys_c * W + xs_c
 
             def tap(dy, dx):
                 return jnp.take(flat, base_i + dy * W + dx, axis=0)
@@ -457,6 +463,7 @@ def extract_dog_features(
     root_uchar: bool = False,
     detector: str = "dog",
     n_orientations: int = 1,
+    edge_threshold: float = 10.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Host wrapper: pad to a static bucket, run the jitted detector, strip
     invalid keypoints.  Returns (points[N,4] pixel coords, desc[N,128];
@@ -486,6 +493,7 @@ def extract_dog_features(
 
     pts, desc, valid = detect_and_describe(
         jnp.asarray(padded), float(peak_threshold), k_per_octave, n_octaves,
+        edge_threshold=float(edge_threshold),
         upsample=upsample, root_uchar=root_uchar, detector=detector,
         n_orientations=n_orientations,
     )

@@ -8,7 +8,10 @@ instead of pose-graph stitching.
 """
 
 from opensfm_tpu.parallel.distributed_ba import (  # noqa: F401
+    bundle_adjust_sharded,
+    check_cg_compatible,
     make_sharded_cg_lm_step,
+    make_sharded_cost,
     make_sharded_lm_step,
     make_sharded_lm_step_dense,
     shard_problem,

@@ -17,7 +17,7 @@ This replaces the reference's file-based submodel split + pose-graph merge
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Tuple
 
 import jax
@@ -25,11 +25,15 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from opensfm_tpu.ba.lm import BAProblem, LOSSES, _transform_rig
+from opensfm_tpu.ba.lm import BAProblem, BAResult, LOSSES, _transform_rig
 from opensfm_tpu.geometry import cameras as cam_lib
 from opensfm_tpu.geometry import rotation as rot
 
 from opensfm_tpu.ops import linalg as tpu_linalg
+
+
+def _p2(n: int, floor: int = 1) -> int:
+    return max(floor, 1 << int(max(n, 1) - 1).bit_length())
 
 
 def shard_problem(problem: BAProblem, n_shards: int) -> BAProblem:
@@ -37,11 +41,14 @@ def shard_problem(problem: BAProblem, n_shards: int) -> BAProblem:
 
     Points are sorted into n contiguous groups of equal size; observations
     are reordered so each group's observations form one contiguous,
-    equally-sized block (padded with zero-weight rows).
+    equally-sized block (padded with zero-weight rows).  Per-shard sizes
+    are padded to power-of-two buckets so the growth loop's successive
+    global bundles share compiled programs (same rationale as
+    problem._Builder.build's buckets).
     """
     npts = len(problem.points)
-    np_pad = ((npts + n_shards - 1) // n_shards) * n_shards
-    pts_per_shard = np_pad // n_shards
+    pts_per_shard = _p2(-(-npts // n_shards), floor=64)
+    np_pad = pts_per_shard * n_shards
 
     # Vectorized re-layout (the round-1 pure-Python per-observation loops
     # were O(observations) interpreter time — VERDICT weak #5).  Valid
@@ -61,7 +68,7 @@ def shard_problem(problem: BAProblem, n_shards: int) -> BAProblem:
 
     shard_of = pts // pts_per_shard
     obs_count_per_shard = np.bincount(shard_of, minlength=n_shards)
-    obs_per_shard = ((int(obs_count_per_shard.max(initial=0)) + 7) // 8) * 8
+    obs_per_shard = _p2(int(obs_count_per_shard.max(initial=0)), floor=256)
     O_new = obs_per_shard * n_shards
 
     # Position of each obs in the new layout: shard base + rank in shard.
@@ -110,6 +117,10 @@ def shard_problem(problem: BAProblem, n_shards: int) -> BAProblem:
         rigcam_prior_inv_sd=problem.rigcam_prior_inv_sd,
         point_prior=pad_points(problem.point_prior),
         point_prior_inv_sd=pad_points(problem.point_prior_inv_sd),
+        point_prior_loss=(
+            pad_points(np.asarray(problem.point_prior_loss))
+            if problem.point_prior_loss is not None else None
+        ),
         opt_inst=problem.opt_inst, opt_rigcam=problem.opt_rigcam,
         opt_cam=problem.opt_cam,
         opt_points=pad_points(problem.opt_points),
@@ -462,6 +473,34 @@ def make_sharded_lm_step_dense(
 # ---------------------------------------------------------------------------
 
 
+def _cam_prior_residual(cam, cam_prior, cam_prior_inv_sd, cam_log_mask):
+    """Camera parameter prior rows (log-scale for focal/aspect,
+    bundle_adjuster.cc:568-593; mirrors lm._prior_residuals)."""
+    safe = jnp.maximum(jnp.abs(cam), 1e-12)
+    safe_prior = jnp.maximum(jnp.abs(cam_prior), 1e-12)
+    rlog = jnp.log(safe) - jnp.log(safe_prior)
+    rlin = cam - cam_prior
+    return jnp.where(cam_log_mask, rlog, rlin) * cam_prior_inv_sd
+
+
+def _point_prior_terms(points, point_prior, point_prior_inv_sd,
+                       point_prior_loss):
+    """Per-point position-prior (GCP) contributions with the optional
+    per-point Cauchy IRLS weight (lm._point_prior_sqrt_weight semantics).
+
+    Returns (H_diag [NP,3], rhs [NP,3]): diagonal additions to Hpp and
+    J^T r additions to bp."""
+    pp_r = (points - point_prior) * point_prior_inv_sd
+    s = jnp.sum(pp_r * pp_r, axis=-1, keepdims=True)
+    c = point_prior_loss[:, None]
+    c2 = jnp.where(c > 0, c * c, 1.0)
+    w = jnp.where(c > 0, 1.0 / (1.0 + s / c2), 1.0)
+    H_diag = w * point_prior_inv_sd * point_prior_inv_sd
+    rhs = w * point_prior_inv_sd * pp_r
+    return H_diag, rhs
+
+
+@lru_cache(maxsize=64)
 def make_sharded_cg_lm_step(
     mesh: Mesh,
     axis: str,
@@ -474,21 +513,30 @@ def make_sharded_cg_lm_step(
     cg_iters: int = 100,
     cg_tol: float = 1e-8,
 ):
-    """Build a jitted camera-block-sparse LM step.
+    """Build a jitted camera-block-sparse LM step.  Memoized so the growth
+    loop's repeated global bundles reuse one compiled program per shape
+    bucket instead of retracing a fresh closure each call.
 
     step(inst, cam, points, obs_uv, obs_inv_sd, obs_point, obs_inst,
-         obs_cam, gps_pos, gps_inv_sd, opt_inst, opt_cam, opt_points,
-         lam, point_base) -> (new_inst, new_cam, new_points)
+         obs_cam, gps_pos, gps_inv_sd, cam_prior, cam_prior_inv_sd,
+         cam_log_mask, point_prior, point_prior_inv_sd, point_prior_loss,
+         opt_inst, opt_cam, opt_points, lam, point_base)
+      -> (new_inst, new_cam, new_points)
 
     points/obs arrays are sharded over `axis` (obs_point carries GLOBAL
     point indices; point_base the shard's first global index); camera-side
     arrays are replicated.  Rig cameras are assumed identity/fixed (the
-    mono fast path; the dense-replicated step covers rigs).
+    mono fast path; the dense-replicated step covers rigs).  Camera
+    parameter priors (log-scale focal) and point position priors (GCPs,
+    optional per-point Cauchy) ride along so the full-map `bundle`
+    semantics (ba_helpers.cc:581-763) are preserved.
     """
 
     def local_step(inst, cam, points, obs_uv, obs_inv_sd, obs_point,
-                   obs_inst, obs_cam, gps_pos, gps_inv_sd, opt_inst,
-                   opt_cam_mask, opt_points, lam, point_base):
+                   obs_inst, obs_cam, gps_pos, gps_inv_sd,
+                   cam_prior, cam_prior_inv_sd, cam_log_mask,
+                   point_prior, point_prior_inv_sd, point_prior_loss,
+                   opt_inst, opt_cam_mask, opt_points, lam, point_base):
         dtype = points.dtype
         np_local = points.shape[0]
         local_point = obs_point - point_base[0]
@@ -536,6 +584,12 @@ def make_sharded_cg_lm_step(
             jnp.einsum("oki,ok->oi", Jp, r), local_point,
             num_segments=np_local,
         )
+        # Point position priors (GCPs) are shard-local diagonal additions.
+        pp_H, pp_rhs = _point_prior_terms(
+            points, point_prior, point_prior_inv_sd, point_prior_loss
+        )
+        Hpp = Hpp + jax.vmap(jnp.diag)(pp_H)
+        bp = bp + pp_rhs
         eye3 = jnp.eye(3, dtype=dtype)
         Hpp = Hpp + lam * jax.vmap(jnp.diag)(
             jnp.diagonal(Hpp, axis1=1, axis2=2)
@@ -556,15 +610,31 @@ def make_sharded_cg_lm_step(
         gps_blocks = jnp.einsum("nki,nkj->nij", gJ, gJ) / n_dev  # [NI,6,6]
         gps_rhs = jnp.einsum("nki,nk->ni", gJ, gr) / n_dev
 
+        # --- camera parameter prior rows (replicated; divide for psum) -----
+        def cprior_one(camP, prior, inv_sd, log_mask):
+            def f(x):
+                return _cam_prior_residual(x, prior, inv_sd, log_mask)
+
+            return f(camP), jax.jacfwd(f)(camP)
+
+        cp_r, cp_J = jax.vmap(cprior_one)(
+            cam, cam_prior, cam_prior_inv_sd, cam_log_mask
+        )
+        cp_J = cp_J * opt_cp[:, None, :]
+        cprior_blocks = jnp.einsum("nki,nkj->nij", cp_J, cp_J) / n_dev
+        cprior_rhs = jnp.einsum("nki,nk->ni", cp_J, cp_r) / n_dev
+
         # --- RHS: b = Jc^T r - Gamma Hpp^-1 bp -----------------------------
         Hib = jnp.einsum("pij,pj->pi", Hpp_inv, bp)
         t_rhs = r - jnp.einsum("okj,oj->ok", Jp, Hib[local_point])
+        # Priors also feed the Schur RHS through the point coupling: the
+        # GCP rhs is inside bp, so t_rhs above already carries it.
         b_i = jax.ops.segment_sum(
             jnp.einsum("oki,ok->oi", Ji, t_rhs), obs_inst, num_segments=ni
         ) + gps_rhs
         b_c = jax.ops.segment_sum(
             jnp.einsum("oki,ok->oi", Jcam, t_rhs), obs_cam, num_segments=nc
-        )
+        ) + cprior_rhs
         b_i = jax.lax.psum(b_i, axis)
         b_c = jax.lax.psum(b_c, axis)
 
@@ -597,7 +667,7 @@ def make_sharded_cg_lm_step(
         schur_c = jnp.einsum(
             "pcij,pjk,pclk->cil", W_c, Hpp_inv, W_c
         )
-        M_c = jax.lax.psum(direct_c - schur_c, axis)
+        M_c = jax.lax.psum(direct_c - schur_c + cprior_blocks, axis)
 
         # Marquardt damping on the (clamped) diagonal, Ceres-style.
         diag_i = jnp.clip(
@@ -635,7 +705,7 @@ def make_sharded_cg_lm_step(
             o_c = jax.ops.segment_sum(
                 jnp.einsum("oki,ok->oi", Jcam, t - y), obs_cam,
                 num_segments=nc,
-            )
+            ) + jnp.einsum("nij,nj->ni", cprior_blocks, v_c)
             o_i = jax.lax.psum(o_i, axis) + lam * diag_i * v_i
             o_c = jax.lax.psum(o_c, axis) + lam * diag_c * v_c
             return o_i * opt_i6, o_c * opt_cp
@@ -702,6 +772,8 @@ def make_sharded_cg_lm_step(
             rep, rep, sh,               # inst, cam, points
             sh, sh, sh, sh, sh,         # obs arrays
             rep, rep,                   # gps
+            rep, rep, rep,              # camera priors
+            sh, sh, sh,                 # point priors (GCP)
             rep, rep, sh,               # opt masks
             rep,                        # lam
             sh,                         # point_base
@@ -710,3 +782,272 @@ def make_sharded_cg_lm_step(
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+@lru_cache(maxsize=64)
+def make_sharded_cost(
+    mesh: Mesh,
+    axis: str,
+    ptype: str,
+    pmax: int,
+    ni: int,
+    nc: int,
+    loss: str = "SoftLOneLoss",
+    loss_threshold: float = 1.0,
+):
+    """Total objective over the sharded layout (the accept/reject metric of
+    the distributed damping loop).  Matches lm._total_cost for the residual
+    families the CG step carries: robust reprojection, GPS instance priors,
+    camera parameter priors, point position priors (optional Cauchy).
+
+    cost(inst, cam, points, obs_uv, obs_inv_sd, obs_point, obs_inst,
+         obs_cam, gps_pos, gps_inv_sd, cam_prior, cam_prior_inv_sd,
+         cam_log_mask, point_prior, point_prior_inv_sd, point_prior_loss,
+         point_base) -> scalar (replicated)
+    """
+
+    def local_cost(inst, cam, points, obs_uv, obs_inv_sd, obs_point,
+                   obs_inst, obs_cam, gps_pos, gps_inv_sd,
+                   cam_prior, cam_prior_inv_sd, cam_log_mask,
+                   point_prior, point_prior_inv_sd, point_prior_loss,
+                   point_base):
+        dtype = points.dtype
+        local_point = obs_point - point_base[0]
+        X = points[local_point]
+        inst_o = inst[obs_inst]
+        Xc = rot.rotate(inst_o[:, 0:3], X) + inst_o[:, 3:6]
+        pred = cam_lib.project(ptype, Xc, cam[obs_cam][:, :pmax], xp=jnp)
+        diff = pred - obs_uv
+        if ptype == "spherical":
+            diff = diff - jnp.round(diff)
+        r = diff * obs_inv_sd[:, None]
+        rho, _ = LOSSES[loss]
+        a2 = loss_threshold * loss_threshold
+        s = jnp.sum(r * r, axis=-1)
+        total = jnp.sum(0.5 * a2 * rho(s / a2))
+
+        # Point priors (shard-local; Cauchy when point_prior_loss > 0).
+        pp_r = (points - point_prior) * point_prior_inv_sd
+        sp = jnp.sum(pp_r * pp_r, axis=-1)
+        c = point_prior_loss
+        c2 = jnp.where(c > 0, c * c, 1.0)
+        per = jnp.where(c > 0, 0.5 * c2 * jnp.log1p(sp / c2), 0.5 * sp)
+        total = total + jnp.sum(per)
+
+        # Replicated prior families: add once (divide by device count).
+        n_dev = jax.lax.psum(jnp.ones((), dtype=dtype), axis)
+        gr = jax.vmap(
+            lambda i6, pos, inv: (-rot.rotate(-i6[:3], i6[3:6]) - pos) * inv
+        )(inst, gps_pos, gps_inv_sd[:, None])
+        cp_r = _cam_prior_residual(cam, cam_prior, cam_prior_inv_sd,
+                                   cam_log_mask)
+        total = total + (
+            0.5 * jnp.sum(gr * gr) + 0.5 * jnp.sum(cp_r * cp_r)
+        ) / n_dev
+        return jax.lax.psum(total, axis)
+
+    from jax import shard_map
+
+    rep = P()
+    sh = P(axis)
+    sharded = shard_map(
+        local_cost,
+        mesh=mesh,
+        in_specs=(
+            rep, rep, sh,
+            sh, sh, sh, sh, sh,
+            rep, rep,
+            rep, rep, rep,
+            sh, sh, sh,
+            sh,
+        ),
+        out_specs=rep,
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline entry: full LM damping loop around the sharded CG step.  This is
+# what `ba/problem.bundle` routes through when `bundle_distributed` says so
+# (replacing the reference's user-driven submodel split, large/tools.py:278).
+# ---------------------------------------------------------------------------
+
+
+def check_cg_compatible(problem: BAProblem):
+    """Reason the camera-block-sparse CG path cannot run this problem, or
+    None when it can.  The CG step covers the mono fast path: one
+    projection type, identity/fixed rig cameras, no up-vector/angle/depth
+    rows, no pose-graph constraint families."""
+    ptypes = (
+        {problem.ptype} if isinstance(problem.ptype, str)
+        else {seg[0] for seg in problem.ptype}
+    )
+    if len(ptypes) != 1:
+        return f"multiple projection types {sorted(ptypes)}"
+    if bool(np.asarray(problem.opt_rigcam).any()):
+        return "optimized rig cameras"
+    if float(np.abs(np.asarray(problem.rigcam)).max(initial=0.0)) > 1e-12:
+        return "non-identity rig cameras"
+    for name in ("up_inv_sd", "ang_inv_sd", "obs_depth_inv_sd"):
+        arr = getattr(problem, name)
+        if arr is not None and bool(np.any(np.asarray(arr) > 0)):
+            return f"{name} rows present"
+    for name in ("rm_i", "rr_i", "cp_i", "lin_i0", "hm_inst", "gauge_i",
+                 "scales"):
+        arr = getattr(problem, name)
+        if arr is not None and np.asarray(arr).shape[0] > 0:
+            return f"{name} constraints present"
+    if len(problem.obs_uv) == 0:
+        return "no observations"
+    return None
+
+
+def _cg_args(problem: BAProblem, n_shards: int, dtype):
+    """Build the sharded CG step's argument tuple (minus lam) from a
+    problem already laid out by `shard_problem`."""
+    import jax.numpy as jnp
+
+    npts = len(problem.points)
+    pts_per_shard = npts // n_shards
+    point_base = (np.arange(npts) // pts_per_shard) * pts_per_shard
+    ppl = (
+        np.asarray(problem.point_prior_loss)
+        if problem.point_prior_loss is not None
+        else np.zeros(npts)
+    )
+    return dict(
+        inst=jnp.asarray(problem.inst, dtype=dtype),
+        cam=jnp.asarray(problem.cam, dtype=dtype),
+        points=jnp.asarray(problem.points, dtype=dtype),
+        obs_uv=jnp.asarray(problem.obs_uv, dtype=dtype),
+        obs_inv_sd=jnp.asarray(problem.obs_inv_sd, dtype=dtype),
+        obs_point=jnp.asarray(problem.obs_point, dtype=jnp.int32),
+        obs_inst=jnp.asarray(problem.obs_inst, dtype=jnp.int32),
+        obs_cam=jnp.asarray(problem.obs_cam, dtype=jnp.int32),
+        gps_pos=jnp.asarray(problem.gps_pos, dtype=dtype),
+        gps_inv_sd=jnp.asarray(problem.gps_inv_sd, dtype=dtype),
+        cam_prior=jnp.asarray(problem.cam_prior, dtype=dtype),
+        cam_prior_inv_sd=jnp.asarray(problem.cam_prior_inv_sd, dtype=dtype),
+        cam_log_mask=jnp.asarray(problem.cam_log_mask, dtype=bool),
+        point_prior=jnp.asarray(problem.point_prior, dtype=dtype),
+        point_prior_inv_sd=jnp.asarray(problem.point_prior_inv_sd,
+                                       dtype=dtype),
+        point_prior_loss=jnp.asarray(ppl, dtype=dtype),
+        opt_inst=jnp.asarray(problem.opt_inst, dtype=bool),
+        opt_cam=jnp.asarray(problem.opt_cam, dtype=bool),
+        opt_points=jnp.asarray(problem.opt_points, dtype=bool),
+        point_base=jnp.asarray(point_base, dtype=jnp.int32),
+    )
+
+
+def bundle_adjust_sharded(
+    problem: BAProblem,
+    max_iterations: int = 50,
+    initial_lambda: float = 1e-4,
+    tol: float = 1e-10,
+    dtype=np.float64,
+    mesh: "Mesh | None" = None,
+    axis: str = "points",
+    cg_iters: int = 100,
+    cg_tol: float = 1e-8,
+):
+    """LM to convergence with the camera-block-sparse CG step sharded over
+    `mesh` (all visible devices by default).
+
+    Host-side damping loop mirroring lm._lm_solve's policy (accept when
+    cost drops, lam/3 on accept, lam*10 on reject, stop at 16 consecutive
+    rejects / rel<tol / max_iterations accepts).  The per-trial host sync
+    is amortized: this path is for problems big enough that one CG solve
+    dwarfs a round-trip.
+
+    Returns a BAResult shaped like `bundle_adjust`'s (rigcam passed
+    through — the CG path requires identity/fixed rig cameras).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    reason = check_cg_compatible(problem)
+    if reason is not None:
+        raise ValueError(f"problem incompatible with the CG path: {reason}")
+
+    if mesh is None:
+        mesh = Mesh(np.array(jax.devices()), (axis,))
+    n_shards = int(np.prod(mesh.devices.shape))
+    npts_orig = len(problem.points)
+    ptype = (
+        problem.ptype if isinstance(problem.ptype, str)
+        else problem.ptype[0][0]
+    )
+    sharded = shard_problem(problem, n_shards)
+    ni, nr, nc, npts, O, T = sharded.counts()
+    pmax = sharded.cam.shape[1]
+
+    step = make_sharded_cg_lm_step(
+        mesh, axis, ptype, pmax, ni, nc, loss=problem.loss,
+        loss_threshold=float(problem.loss_threshold),
+        cg_iters=cg_iters, cg_tol=cg_tol,
+    )
+    cost_fn = make_sharded_cost(
+        mesh, axis, ptype, pmax, ni, nc, loss=problem.loss,
+        loss_threshold=float(problem.loss_threshold),
+    )
+    a = _cg_args(sharded, n_shards, getattr(jnp, np.dtype(dtype).name))
+
+    cost_keys = (
+        "obs_uv", "obs_inv_sd", "obs_point", "obs_inst", "obs_cam",
+        "gps_pos", "gps_inv_sd", "cam_prior", "cam_prior_inv_sd",
+        "cam_log_mask", "point_prior", "point_prior_inv_sd",
+        "point_prior_loss",
+    )
+
+    def cost_of(inst, cam, points):
+        return float(
+            cost_fn(inst, cam, points, *(a[k] for k in cost_keys),
+                    a["point_base"])
+        )
+
+    inst, cam, points = a["inst"], a["cam"], a["points"]
+    lam = float(initial_lambda)
+    cost = cost_of(inst, cam, points)
+    initial_cost = cost
+    accepted = 0
+    rejects = 0
+    trials = 0
+    while accepted < max_iterations and trials < 16 * max_iterations:
+        trials += 1
+        lam_dev = jnp.asarray(lam, dtype=points.dtype)
+        t_inst, t_cam, t_points = step(
+            inst, cam, points, *(a[k] for k in cost_keys[:5]),
+            a["gps_pos"], a["gps_inv_sd"], a["cam_prior"],
+            a["cam_prior_inv_sd"], a["cam_log_mask"], a["point_prior"],
+            a["point_prior_inv_sd"], a["point_prior_loss"],
+            a["opt_inst"], a["opt_cam"], a["opt_points"], lam_dev,
+            a["point_base"],
+        )
+        new_cost = cost_of(t_inst, t_cam, t_points)
+        if np.isfinite(new_cost) and new_cost < cost:
+            rel = (cost - new_cost) / max(cost, 1e-30)
+            inst, cam, points = t_inst, t_cam, t_points
+            cost = new_cost
+            lam = max(lam / 3.0, 1e-12)
+            accepted += 1
+            rejects = 0
+            if rel < tol:
+                break
+        else:
+            lam = min(lam * 10.0, 1e8)
+            rejects += 1
+            if rejects >= 16:
+                break
+
+    return BAResult(
+        inst=np.asarray(inst)[:ni],
+        rigcam=np.asarray(problem.rigcam),
+        cam=np.asarray(cam),
+        points=np.asarray(points)[:npts_orig],
+        initial_cost=initial_cost,
+        final_cost=cost,
+        iterations=accepted,
+        lam=lam,
+    )

@@ -25,17 +25,30 @@ logger = logging.getLogger(__name__)
 
 # Common sensor formats (width in mm):
 #   full frame 36.0 | APS-H 27.9 | APS-C Canon 22.3 | APS-C 23.5/23.6
-#   Four Thirds 17.3 | 1" 13.2 | 2/3" 8.8 | 1/1.7" 7.6 | 1/2.3" 6.17
-#   1/2.5" 5.76 | 1/3" 4.8 | 1/3.2" 4.54
+#   Four Thirds 17.3 | 1.5" 18.7 | 1" 13.2 | 2/3" 8.8 | 1/1.7" 7.6
+#   1/1.8" 7.18 | 1/2.3" 6.17 | 1/2.33" 6.08 | 1/2.5" 5.76 | 1/2.7" 5.37
+#   1/3" 4.8 | 1/3.2" 4.54
+#
+# Compact-camera series are assigned the sensor FORMAT CLASS of their
+# series/era (public spec sheets group whole series on one format); the
+# residual error of a class-level width (<~7%) is well inside the focal
+# prior's standard deviation and is refined away by bundle adjustment.
 _FULL = 36.0
+_APSH = 27.9
 _APSC_CANON = 22.3
 _APSC = 23.5
+_FOVEON = 20.7
+_1_5 = 18.7
 _FT = 17.3
 _ONE = 13.2
 _2_3 = 8.8
 _1_17 = 7.6
+_1_18 = 7.18
 _1_23 = 6.17
 _1_25 = 5.76
+_1_27 = 5.37
+_1_3 = 4.8
+_1_32 = 4.54
 
 _BUILTIN: Dict[str, float] = {}
 
@@ -240,6 +253,647 @@ _add("insta360", {"one x": _1_23, "one x2": _1_23, "one r": _1_23})
 _add("parrot", {"anafi": 5.9, "bebop 2": _1_23, "sequoia": 4.8})
 _add("sensefly", {"s.o.d.a.": _ONE})
 
+# ---------------------------------------------------------------------------
+# Systematic series coverage (compact cameras, phones, drones).  Each block
+# enumerates a model series and assigns its public sensor-format class.
+# ---------------------------------------------------------------------------
+
+
+def _series(make: str, fmt: float, prefix: str, names) -> None:
+    _add(make, {f"{prefix}{n}".strip(): fmt for n in names})
+
+
+# --- Canon PowerShot -------------------------------------------------------
+_series("canon", _1_27, "powershot a", [
+    10, 20, 30, 40, 60, 70, 75, 85, 200, 300, 310, 400, 410, 420, 430,
+    450, 460, 520, 530, 540, 550, 560, 570, 580, 590, 700, 710, 720,
+])
+_series("canon", _1_18, "powershot a", [80, 95, 610, 620, 630, 640, 650])
+_series("canon", _1_23, "powershot a", [
+    490, 495, 800, 810, 1000, 1100, 1200, 1300, 2000, 2100, 2200, 2400,
+    2600, 3000, 3100, 3200, 3300, 3400, 3500, 4000,
+])
+_add("canon", {f"powershot a{n} is": _1_23 for n in [
+    480, 490, 495, 800, 1000, 1100, 1200, 1300, 1400, 2000, 2100, 2200,
+    2300, 2400, 2500, 2600, 3000, 3100, 3200, 3300, 3400, 3500, 4000,
+]})
+_series("canon", _1_25, "powershot sd", [
+    100, 110, 200, 300, 400, 430, 450, 500, 550, 600, 630, 700, 750,
+    770, 780, 790, 800, 850, 870, 880, 890, 900, 950, 960, 970, 980,
+    990, 1000, 1100, 1200, 1300, 1400, 3500, 4000, 4500,
+])
+_add("canon", {f"powershot sd{n} is": _1_25 for n in [
+    430, 700, 750, 770, 780, 790, 800, 850, 870, 880, 890, 940, 960,
+    970, 980, 990, 1100, 1200, 1300, 1400, 3500, 4000, 4500,
+]})
+_series("canon", _1_23, "ixus ", [
+    105, 115, 125, 130, 132, 135, 140, 145, 150, 155, 160, 165, 170,
+    175, 180, 185, 190, 220, 230, 240, 255, 265, 275, 285,
+])
+_add("canon", {f"ixus {n} hs": _1_23 for n in [
+    115, 125, 132, 135, 140, 145, 150, 155, 160, 165, 170, 175, 180,
+    185, 190, 220, 230, 240, 255, 265, 275, 285,
+]})
+_series("canon", _1_25, "ixus ", [
+    30, 40, 50, 55, 60, 65, 70, 75, 80, 85, 90, 95, 100, 110, 120, 200,
+    210, 300, 310, 400, 430, 500, 700, 750, 800, 850, 860, 870, 900,
+    950, 960, 970, 980, 990,
+])
+_series("canon", _1_23, "powershot elph ", [
+    100, 110, 115, 120, 130, 135, 140, 150, 160, 170, 180, 185, 190,
+    300, 310, 320, 330, 340, 350, 360, 500, 510, 520, 530,
+])
+_add("canon", {f"powershot elph {n} hs": _1_23 for n in [
+    100, 110, 115, 120, 130, 135, 140, 150, 160, 170, 180, 185, 190,
+    300, 310, 320, 330, 340, 350, 360, 500, 510, 520, 530,
+]})
+_series("canon", _1_23, "powershot sx", [
+    100, 110, 120, 130, 150, 160, 170, 200, 210, 220, 230, 240, 260,
+    270, 280, 400, 410, 420, 430, 500, 510, 520, 530, 540, 600, 610,
+    620, 700, 710, 720, 730, 740, 1, 10, 20, 30,
+])
+_add("canon", {f"powershot sx{n} is": _1_23 for n in [
+    100, 110, 120, 130, 150, 160, 170, 200, 210, 220, 230, 240, 400,
+    410, 420, 430, 500, 510, 520, 530, 540, 1, 10, 20, 30,
+]})
+_add("canon", {f"powershot sx{n} hs": _1_23 for n in [
+    200, 210, 220, 230, 240, 260, 270, 280, 500, 510, 520, 530, 600,
+    610, 620, 700, 710, 720, 730, 740, 40, 50, 60,
+]})
+_series("canon", _1_18, "powershot s", [30, 40, 45, 50, 60, 70, 80])
+_add("canon", {
+    "powershot s1 is": _1_27, "powershot s2 is": _1_25,
+    "powershot s3 is": _1_25, "powershot s5 is": _1_25,
+    "powershot g1": _1_18, "powershot g2": _1_18, "powershot g3": _1_18,
+    "powershot g5": _1_18, "powershot g6": _1_18,
+    "powershot g1 x": _1_5, "powershot g1 x mark ii": _1_5,
+    "powershot g1 x mark iii": _APSC_CANON,
+    "powershot d10": _1_23, "powershot d20": _1_23,
+    "powershot n": _1_23, "powershot n2": _1_23,
+    "powershot pick": _1_23, "powershot zoom": _1_3,
+    "powershot v10": _ONE,
+    "eos m2": _APSC_CANON, "eos m10": _APSC_CANON, "eos m6 mark ii": _APSC_CANON,
+    "eos r3": _FULL, "eos r100": _APSC_CANON, "eos r7 mark ii": _APSC_CANON,
+    "eos 10d": _APSC_CANON, "eos 1d": _APSH, "eos 1d mark ii": _APSH,
+    "eos 1d mark iii": _APSH, "eos 1d mark iv": _APSH,
+    "eos 1ds": _FULL, "eos 1ds mark ii": _FULL,
+    "eos d30": _APSC_CANON, "eos d60": _APSC_CANON,
+})
+
+# --- Nikon Coolpix ---------------------------------------------------------
+_series("nikon", _1_23, "coolpix s", [
+    2500, 2600, 2700, 2750, 2800, 2900, 3000, 3100, 3200, 3300, 3400,
+    3500, 3600, 3700, 4000, 4100, 4150, 4200, 4300, 5200, 5300, 6000,
+    6100, 6150, 6200, 6300, 6400, 6500, 6600, 6800, 6900, 7000, 8000,
+    8100, 8200, 9050, 9200, 9400, 9600, 9700, 9900,
+])
+_series("nikon", _1_25, "coolpix s", [
+    1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 50, 51, 60, 200, 210, 220, 230, 500,
+    510, 520, 550, 560, 570, 600, 610, 620, 630, 640, 700, 710,
+])
+_series("nikon", _1_23, "coolpix l", [
+    21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 100, 110, 120, 310,
+    320, 330, 340, 610, 620, 810, 820, 830, 840,
+])
+_series("nikon", _1_25, "coolpix l", [
+    1, 2, 3, 4, 5, 6, 10, 11, 12, 14, 15, 16, 18, 19, 20,
+])
+_series("nikon", _1_23, "coolpix w", [100, 150, 300])
+_series("nikon", _1_18, "coolpix p", [1, 2, 3, 4, 50, 60])
+_series("nikon", _1_23, "coolpix p", [80, 90, 100, 300, 310, 330, 340, 1000])
+_add("nikon", {
+    "coolpix 775": _1_27, "coolpix 885": _1_18, "coolpix 995": _1_18,
+    "coolpix 2100": _1_27, "coolpix 2200": _1_27, "coolpix 3100": _1_27,
+    "coolpix 3200": _1_27, "coolpix 4300": _1_18, "coolpix 4500": _1_18,
+    "coolpix 5000": _2_3, "coolpix 5400": _1_18, "coolpix 5700": _2_3,
+    "coolpix 8700": _2_3, "coolpix 8800": _2_3,
+    "coolpix a10": _1_23, "coolpix a100": _1_23, "coolpix a300": _1_23,
+    "coolpix a900": _1_23, "coolpix a1000": _1_23,
+    "coolpix b500": _1_23, "coolpix b600": _1_23, "coolpix b700": _1_23,
+    "coolpix p6000": _1_17, "coolpix p7900": _1_17,
+    "d1": _APSC, "d1h": _APSC, "d1x": _APSC, "d2h": _APSC, "d2hs": _APSC,
+    "d2x": _APSC, "d2xs": _APSC, "z 6iii": _FULL, "z f": _FULL,
+    "1 v3": _ONE,
+})
+
+# --- Sony Cyber-shot -------------------------------------------------------
+_series("sony", _1_25, "dsc-w", [
+    5, 7, 12, 17, 30, 35, 40, 50, 55, 70, 80, 85, 90, 100, 110, 115,
+    120, 125, 130, 150, 170, 180, 190, 200, 210, 215, 220, 230, 270,
+    290, 300, 310, 320, 330, 350, 360, 370, 380, 390,
+])
+_series("sony", _1_23, "dsc-w", [
+    510, 520, 530, 550, 560, 570, 580, 610, 620, 630, 650, 670, 690,
+    710, 730, 800, 810, 830,
+])
+_series("sony", _1_23, "dsc-h", [
+    10, 20, 50, 55, 70, 90, 100, 200, 300, 400,
+])
+_add("sony", {
+    "dsc-h1": _1_25, "dsc-h2": _1_25, "dsc-h5": _1_25, "dsc-h7": _1_25,
+    "dsc-h9": _1_25, "dsc-h3": _1_25,
+})
+_series("sony", _1_23, "dsc-hx", [
+    "1", "5", "5v", "7v", "9", "9v", "10", "20", "20v", "30", "30v",
+    "100", "100v", "200", "200v", "300", "350", "400", "400v",
+])
+_series("sony", _1_25, "dsc-t", [
+    1, 3, 5, 7, 9, 10, 20, 30, 50, 70, 77, 90, 99, 100, 110, 200, 300,
+    500, 700, 900,
+])
+_series("sony", _1_23, "dsc-tx", ["1", "5", "7", "9", "10", "20", "30", "55", "66", "100",
+                 "100v", "200"])
+_series("sony", _1_23, "dsc-wx", [
+    1, 5, 7, 9, 10, 30, 50, 60, 70, 80, 100, 150, 170, 200, 220, 350,
+    500, 800,
+])
+_add("sony", {
+    "dsc-f707": _2_3, "dsc-f717": _2_3, "dsc-f828": _2_3,
+    "dsc-r1": 21.5, "dsc-v1": _1_18, "dsc-v3": _1_18,
+    "dsc-p1": _1_18, "dsc-p5": _1_18, "dsc-p7": _1_18, "dsc-p8": _1_27,
+    "dsc-p10": _1_18, "dsc-p12": _1_18, "dsc-p32": _1_27,
+    "dsc-p43": _1_27, "dsc-p52": _1_27, "dsc-p72": _1_27,
+    "dsc-p73": _1_27, "dsc-p92": _1_18, "dsc-p93": _1_18,
+    "dsc-p100": _1_18, "dsc-p120": _1_18, "dsc-p150": _1_18,
+    "dsc-p200": _1_18, "dsc-s40": _1_27, "dsc-s60": _1_27,
+    "dsc-s600": _1_25, "dsc-s650": _1_25, "dsc-s700": _1_25,
+    "dsc-s730": _1_25, "dsc-s750": _1_25, "dsc-s780": _1_25,
+    "dsc-s800": _1_25, "dsc-s930": _1_23, "dsc-s950": _1_23,
+    "dsc-s980": _1_23, "dsc-s2000": _1_23, "dsc-s2100": _1_23,
+    "dsc-s3000": _1_23, "dsc-s5000": _1_23,
+    "dsc-rx0": _ONE, "dsc-rx0m2": _ONE, "dsc-rx1r": _FULL,
+    "dsc-rx100m5a": _ONE, "zv-1": _ONE, "zv-e10": _APSC, "zv-e1": _FULL,
+    "ilce-6000l": _APSC, "ilce-qx1": _APSC,
+    "dslr-a100": _APSC, "dslr-a200": _APSC, "dslr-a230": _APSC,
+    "dslr-a290": _APSC, "dslr-a300": _APSC, "dslr-a330": _APSC,
+    "dslr-a350": _APSC, "dslr-a380": _APSC, "dslr-a390": _APSC,
+    "dslr-a450": _APSC, "dslr-a500": _APSC, "dslr-a550": _APSC,
+    "dslr-a560": _APSC, "dslr-a580": _APSC, "dslr-a700": _APSC,
+    "dslr-a850": _FULL, "dslr-a900": _FULL,
+})
+
+# --- Olympus compacts ------------------------------------------------------
+_series("olympus", _1_23, "sz-", [10, 11, 12, 14, 15, 16, 17, 20, 30, 31])
+_series("olympus", _1_23, "sh-", [1, 21, 25, 50, 60])
+_series("olympus", _1_23, "vg-", [110, 120, 130, 140, 145, 160, 165, 170, 180])
+_series("olympus", _1_23, "vr-", [310, 320, 330, 340, 350, 360, 370])
+_series("olympus", _1_23, "tg-", [310, 320, 610, 620, 630, 810, 820, 830, 835, 850, 860, 870])
+_add("olympus", {
+    "tg-1": _1_23, "tg-2": _1_23, "tg-3": _1_23, "tg-7": _1_23,
+    "xz-1": 7.9, "xz-2": _1_17, "xz-10": _1_23,
+    "sp-100ee": _1_23, "sp-310": _1_18, "sp-320": _1_18, "sp-350": _1_18,
+    "sp-500uz": _1_25, "sp-510uz": _1_25, "sp-550uz": _1_25,
+    "sp-560uz": _1_25, "sp-565uz": _1_23, "sp-570uz": _1_23,
+    "sp-590uz": _1_23, "sp-600uz": _1_23, "sp-610uz": _1_23,
+    "sp-620uz": _1_23, "sp-720uz": _1_23, "sp-800uz": _1_23,
+    "sp-810uz": _1_23, "sp-820uz": _1_23,
+    "e-1": _FT, "e-300": _FT, "e-330": _FT, "e-400": _FT, "e-410": _FT,
+    "e-450": _FT, "e-500": _FT, "e-510": _FT, "e-600": _FT,
+    "e-m1 mark iii ": _FT, "om-1": _FT, "om-5": _FT,
+    "mju 700": _1_25, "mju 710": _1_25, "mju 720sw": _1_25,
+    "mju 725sw": _1_25, "mju 740": _1_25, "mju 750": _1_25,
+    "mju 760": _1_25, "mju 770sw": _1_25, "mju 780": _1_25,
+    "mju 790sw": _1_25, "mju 795sw": _1_25, "mju 800": _1_18,
+    "mju 810": _1_18, "mju 820": _1_25, "mju 830": _1_25,
+    "mju 840": _1_25, "mju 850sw": _1_25, "mju 1000": _1_18,
+    "mju 1010": _1_23, "mju 1020": _1_23, "mju 1030sw": _1_23,
+    "mju 1040": _1_23, "mju 1050sw": _1_23, "mju 1060": _1_23,
+    "mju 1200": _1_17, "mju 5000": _1_23, "mju 5010": _1_23,
+    "mju 7000": _1_23, "mju 7010": _1_23, "mju 7040": _1_23,
+    "mju 9000": _1_23, "mju 9010": _1_23,
+    "stylus sh-1": _1_23, "stylus sh-2": _1_23, "stylus sh-3": _1_23,
+    "stylus 1s": _1_17,
+})
+
+# --- Panasonic Lumix -------------------------------------------------------
+_series("panasonic", _1_23, "dmc-tz", [
+    1, 2, 3, 4, 5, 6, 7, 8, 10, 18, 19, 20, 22, 25, 27, 30, 31, 35, 36,
+    37, 40, 41, 55, 56, 57, 58, 61, 65, 71, 81, 85, 90, 91, 95, 96,
+])
+_series("panasonic", _1_23, "dmc-zs", [
+    1, 3, 5, 6, 7, 8, 9, 10, 15, 19, 20, 25, 27, 30, 35, 45, 70,
+])
+_series("panasonic", _1_23, "dmc-fz", [
+    18, 28, 35, 38, 40, 45, 47, 48, 60, 62, 72, 100, 150, 330,
+])
+_series("panasonic", _1_25, "dmc-fz", [1, 2, 3, 4, 5, 7, 8, 10, 15, 20, 30, 50])
+_series("panasonic", _1_25, "dmc-fs", [3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 15, 16, 20, 25, 30, 33, 35, 37, 42, 45, 62])
+_series("panasonic", _1_25, "dmc-fx", [
+    1, 2, 5, 7, 8, 9, 10, 12, 30, 33, 35, 36, 37, 40, 50, 55, 60, 65,
+    66, 68, 70, 75, 77, 78, 80, 90, 100, 150, 180, 500, 520, 550, 580,
+    700, 720,
+])
+_series("panasonic", _1_23, "dmc-ft", [1, 2, 3, 4, 6, 10, 20, 25, 30])
+_series("panasonic", _1_23, "dmc-ts", [1, 2, 3, 4, 10, 20, 25, 30])
+_series("panasonic", _1_23, "dmc-sz", [1, 3, 5, 7, 8, 9, 10])
+_series("panasonic", _1_25, "dmc-lz", [1, 2, 3, 4, 5, 6, 7, 8, 10, 20, 30, 40])
+_series("panasonic", _1_25, "dmc-ls", [1, 2, 3, 5, 6, 60, 70, 75, 80, 85, 86])
+_add("panasonic", {
+    "dmc-lx1": 7.9, "dmc-lx2": 7.9, "dmc-lx3": 7.9, "dmc-lx5": 7.9,
+    "dmc-lc1": _2_3, "dmc-l1": _FT, "dmc-l10": _FT,
+    "dc-s5m2": _FULL, "dc-s9": _FULL, "dc-lx100m2": _FT,
+    "dmc-lx100": _FT, "dmc-cm1": _ONE, "dc-zs200": _ONE, "dc-tz200": _ONE,
+    "dc-fz1000m2": _ONE, "dc-fz10002": _ONE,
+    "dmc-g10": _FT, "dc-g110": _FT, "dc-gx880": _FT, "dc-gf10": _FT,
+    "dmc-gf8": _FT, "dmc-gx800": _FT, "dmc-gx850": _FT,
+})
+
+# --- Fujifilm FinePix ------------------------------------------------------
+_series("fujifilm", _1_23, "finepix s", [
+    1600, 1700, 1800, 1900, 2500, 2800, 2900, 2950, 2980, 3200, 3250,
+    3300, 3350, 3400, 3450, 4080, 4300, 4400, 4530, 4700, 4800, 8200,
+    8300, 8400, 8500, 9200, 9250, 9800, 9900,
+])
+_add("fujifilm", {f"finepix s{n}": _1_25 for n in [
+    5700, 5800, 6500, 7000, 8000, 8100, 1000, 1500, 2000, 2100,
+]})
+_series("fujifilm", _1_23, "finepix f", [
+    500, 550, 600, 660, 750, 770, 800, 820, 850, 900,
+])
+_add("fujifilm", {f"finepix f{n}exr": _1_23 for n in [
+    500, 550, 600, 660, 750, 770, 800, 820, 850, 900,
+]})
+_series("fujifilm", _1_25, "finepix f", [
+    10, 11, 20, 30, 31, 40, 45, 47, 50, 60, 70, 72, 80, 100, 200, 300,
+    401, 410, 420, 440, 450, 455, 460, 470, 480, 610, 650, 700, 710, 810,
+])
+_series("fujifilm", _1_23, "finepix jx", [
+    200, 250, 280, 300, 350, 370, 400, 420, 500, 520, 550, 580, 600,
+    660, 680, 700, 710,
+])
+_series("fujifilm", _1_23, "finepix jz", [100, 110, 250, 300, 310, 500, 505, 510])
+_series("fujifilm", _1_25, "finepix j", [
+    "10", "12", "15", "20", "25", "26", "27", "28", "29", "30", "32",
+    "35", "38", "40", "50", "110w", "150w", "210",
+])
+_series("fujifilm", _1_23, "finepix t", [190, 200, 210, 300, 310, 350, 360, 400, 410, 500, 510, 550, 560])
+_series("fujifilm", _1_23, "finepix z", [70, 80, 90, 100, 110, 200, 250, 300, 700, 707, 800, 808, 900, 909, 1000, 1010])
+_series("fujifilm", _1_23, "finepix hs", [
+    "10", "11", "20exr", "22exr", "25exr", "28exr", "30exr", "33exr",
+    "35exr", "50exr",
+])
+_add("fujifilm", {
+    "finepix x100": _APSC, "x10": 8.8, "x20": 8.8, "x30": 8.8,
+    "xq1": 8.8, "xq2": 8.8, "x-s20": _APSC, "x-t50": _APSC,
+    "finepix sl240": _1_23, "finepix sl260": _1_23, "finepix sl280": _1_23,
+    "finepix sl300": _1_23, "finepix sl1000": _1_23,
+    "finepix real 3d w1": _1_23, "finepix real 3d w3": _1_23,
+    "gfx 50s": 43.8, "gfx 50r": 43.8, "gfx 100": 43.8, "gfx 100s": 43.8,
+    "gfx100 ii": 43.8,
+})
+
+# --- Casio Exilim ----------------------------------------------------------
+_series("casio", _1_23, "ex-zs", [5, 6, 10, 12, 15, 20, 30, 100, 150, 160, 170, 180, 190, 200, 210, 220, 240])
+_series("casio", _1_23, "ex-z", [
+    16, 28, 29, 32, 33, 35, 37, 42, 550, 680, 690, 800, 2000, 2300,
+    3000, 3200,
+])
+_series("casio", _1_25, "ex-z", [
+    4, 5, 6, 7, 8, 9, 10, 11, 12, 40, 50, 55, 57, 60, 65, 70, 75, 77,
+    80, 85, 90, 100, 110, 120, 150, 200, 250, 270, 280, 300, 400, 450,
+    500, 600, 700, 750, 850, 1000, 1050, 1080, 1200,
+])
+_series("casio", _1_23, "ex-h", ["5", "10", "15", "20g", "30", "50"])
+_series("casio", _1_23, "ex-fh", [20, 25, 100])
+_add("casio", {
+    "ex-f1": _1_18, "ex-fc100": _1_23, "ex-fc150": _1_23,
+    "ex-10": _1_17, "ex-100": _1_17, "ex-zr100": _1_23,
+    "ex-zr200": _1_23, "ex-zr300": _1_23, "ex-zr400": _1_23,
+    "ex-zr700": _1_23, "ex-zr800": _1_23, "ex-zr1000": _1_23,
+    "ex-zr1100": _1_23, "ex-zr1200": _1_23, "ex-zr1500": _1_23,
+    "ex-zr3500": _1_17, "ex-zr5000": _1_17,
+    "ex-s5": _1_25, "ex-s6": _1_25, "ex-s7": _1_25, "ex-s8": _1_25,
+    "ex-s10": _1_23, "ex-s12": _1_23, "ex-s100": _1_27, "ex-s500": _1_25,
+    "ex-s600": _1_25, "ex-s770": _1_25, "ex-s880": _1_25,
+    "ex-p505": _1_25, "ex-p600": _1_18, "ex-p700": _1_18,
+})
+
+# --- Kodak EasyShare -------------------------------------------------------
+_series("kodak easyshare", _1_23, "c", [
+    140, 142, 143, 180, 182, 183, 190, 195, 913, 1013, 1505, 1530, 1550,
+])
+_series("kodak easyshare", _1_25, "c", [
+    300, 310, 315, 330, 340, 360, 433, 503, 530, 533, 543, 603, 610,
+    613, 623, 633, 643, 653, 663, 703, 713, 743, 763, 813, 875,
+])
+_series("kodak easyshare", _1_23, "m", [
+    320, 340, 341, 380, 381, 420, 522, 530, 531, 532, 550, 552, 565,
+    575, 577, 580, 583, 750, 753, 763, 853, 863, 873, 883, 893, 1033,
+    1063, 1073, 5350, 5370,
+])
+_series("kodak easyshare", _1_23, "z", [
+    915, 950, 980, 981, 990, 1012, 1015, 1085, 5010, 5120,
+])
+_add("kodak easyshare", {
+    "z650": _1_25, "z700": _1_25, "z710": _1_25, "z712 is": _1_25,
+    "z730": _1_18, "z740": _1_25, "z760": _1_18, "z812 is": _1_25,
+    "z885": _1_25, "z1275": _1_25, "z1285": _1_25, "z8612 is": _1_25,
+    "v550": _1_25, "v570": _1_25, "v610": _1_25, "v705": _1_25,
+    "v803": _1_25, "v1003": _1_25, "p850": _1_25, "p880": _1_18,
+    "dx3900": _1_18, "dx4530": _1_27, "dx6340": _1_27, "dx6490": _1_27,
+    "dx7440": _1_25, "dx7590": _1_25, "dx7630": _1_18,
+})
+
+# --- Samsung compacts + NX -------------------------------------------------
+_series("samsung", _1_23, "wb", [
+    "30f", "35f", "50f", "100", "150", "150f", "200f", "250f", "280f",
+    "350f", "500", "550", "600", "650", "690", "700", "750", "800f",
+    "850f", "1100f", "2000", "2100", "2200f",
+])
+_series("samsung", _1_23, "st", [
+    "30", "45", "50", "60", "61", "64", "65", "66", "70", "71", "72",
+    "76", "77", "79", "80", "88", "90", "93", "95", "96", "100", "150f",
+    "200f", "500", "550", "600", "700", "1000",
+])
+_series("samsung", _1_23, "pl", [
+    20, 50, 55, 60, 65, 70, 80, 90, 100, 101, 120, 121, 150, 151, 170,
+    171, 200, 201, 210, 211,
+])
+_series("samsung", _1_23, "es", [
+    9, 10, 15, 17, 19, 20, 25, 28, 30, 55, 60, 65, 70, 71, 73, 74, 75,
+    80, 90, 95,
+])
+_add("samsung", {
+    **{f"nx{n}": _APSC for n in [
+        "5", "10", "11", "100", "200", "210", "300", "300m", "500",
+        "1000", "1100", "2000", "3000", "3300", "1", "20", "30",
+    ]},
+    "nx mini": _ONE, "galaxy nx": _APSC,
+    "ex1": _1_17, "ex2f": _1_17, "galaxy camera": _1_23,
+    "galaxy camera 2": _1_23, "galaxy s4 zoom": _1_23,
+    "digimax a503": _1_25, "digimax s500": _1_25, "digimax s600": _1_25,
+    "digimax s800": _1_25,
+})
+
+# --- Phones: Apple ---------------------------------------------------------
+_add("apple", {
+    "iphone": 3.58, "iphone 3g": 3.58, "iphone 3gs": 3.58,
+    "ipad": 3.58, "ipad 2": 3.58, "ipad air": 4.54, "ipad air 2": 4.54,
+    "ipad mini": 4.54, "ipad pro": 4.54,
+    "ipod touch": 3.58, "iphone se (2nd generation)": 4.8,
+    "iphone se (3rd generation)": 4.8,
+    "iphone 14 plus": 7.0, "iphone 14 pro max": 9.8,
+    "iphone 15 plus": 9.8, "iphone 15 pro max": 9.8,
+    "iphone 16": 9.8, "iphone 16 plus": 9.8, "iphone 16 pro": 9.8,
+    "iphone 16 pro max": 9.8,
+})
+
+# --- Phones: Samsung Galaxy (EXIF model codes) -----------------------------
+_add("samsung", {
+    # Galaxy S family (international model codes)
+    "gt-i9000": 4.54, "gt-i9100": 4.54, "gt-i9300": 4.54, "gt-i9505": 4.69,
+    "sm-g900f": 5.9, "sm-g900v": 5.9, "sm-g900a": 5.9, "sm-g900t": 5.9,
+    "sm-g920f": 5.9, "sm-g925f": 5.9, "sm-g928f": 5.9,
+    "sm-g935f": 5.9, "sm-g955f": 6.3, "sm-g965f": 6.3,
+    "sm-g970f": 6.3, "sm-g975f": 6.3, "sm-g977b": 6.3,
+    "sm-g980f": 7.0, "sm-g985f": 7.0, "sm-g988b": 9.5,
+    "sm-g991b": 7.0, "sm-g996b": 7.0, "sm-g998b": 9.5,
+    "sm-s901b": 7.0, "sm-s906b": 7.0, "sm-s908b": 9.5,
+    "sm-s911b": 7.0, "sm-s916b": 7.0, "sm-s918b": 9.8,
+    "sm-s921b": 7.0, "sm-s926b": 7.0, "sm-s928b": 9.8,
+    # Note / A / J families
+    "sm-n910f": 5.9, "sm-n920c": 5.9, "sm-n950f": 6.3, "sm-n960f": 6.3,
+    "sm-n970f": 6.3, "sm-n975f": 6.3, "sm-n980f": 7.0, "sm-n986b": 9.5,
+    "sm-a305f": 5.9, "sm-a505f": 5.9, "sm-a515f": 6.4, "sm-a525f": 6.4,
+    "sm-a528b": 6.4, "sm-a536b": 6.4, "sm-a546b": 6.4,
+    "sm-a705f": 6.4, "sm-a715f": 6.4, "sm-a725f": 6.4,
+    "sm-j320f": 4.69, "sm-j510f": 4.69, "sm-j530f": 4.8, "sm-j730f": 4.8,
+    "galaxy s23": 7.0, "galaxy s23 ultra": 9.8, "galaxy s24": 7.0,
+    "galaxy s24 ultra": 9.8, "galaxy z flip3": 7.0, "galaxy z fold3": 7.0,
+})
+
+# --- Phones: Google / Huawei / Xiaomi / LG / Motorola / OnePlus etc. -------
+_add("google", {
+    "pixel 2 xl": 6.2, "pixel 3 xl": 5.9, "pixel 3a xl": 5.9,
+    "pixel 4 xl": 5.9, "pixel 4a (5g)": 5.9, "pixel 5a": 5.9,
+    "pixel 6a": 6.4, "pixel 7a": 8.2, "pixel 8": 9.8, "pixel 8 pro": 9.8,
+    "pixel 8a": 8.2, "pixel 9": 9.8, "pixel 9 pro": 9.8, "pixel fold": 7.4,
+})
+_add("huawei", {
+    "p8": 5.9, "p9": 5.9, "p10": 5.9, "p40": 9.4, "p40 pro": 9.4,
+    "p50 pro": 9.4, "mate 10": 6.3, "mate 10 pro": 6.3, "mate 30": 6.6,
+    "mate 30 pro": 6.6, "mate 40 pro": 9.4,
+    "ane-lx1": 5.9, "pot-lx1": 5.9, "mar-lx1a": 6.3, "yal-l21": 6.3,
+    "ele-l29": 6.3, "lya-l29": 6.3, "hma-l29": 6.3, "col-l29": 5.9,
+    "pra-lx1": 5.22, "was-lx1a": 5.22, "fig-lx1": 5.22, "sne-lx1": 6.3,
+    "honor 8": 5.9, "honor 9": 5.9, "honor 10": 6.3, "honor 20": 6.4,
+    "nova 5t": 6.4,
+})
+_add("xiaomi", {
+    "mi 5": 6.4, "mi 6": 5.9, "mi 8": 6.4, "mi 9t": 6.4, "mi 9t pro": 6.4,
+    "mi 10t pro": 9.5, "mi 11": 9.5, "mi a1": 5.9, "mi a2": 6.2,
+    "mi a3": 6.4, "mi note 10": 9.5, "redmi note 4": 5.9,
+    "redmi note 5": 6.2, "redmi note 7": 6.4, "redmi note 8": 6.4,
+    "redmi note 8 pro": 8.0, "redmi note 9": 6.4, "redmi note 10": 6.4,
+    "redmi note 10 pro": 8.4, "redmi 4x": 5.9, "redmi 5 plus": 5.9,
+    "poco f1": 6.2, "poco x3 pro": 6.4, "13": 9.8, "12t pro": 12.8,
+})
+_add("lg", {
+    "nexus 4": 4.54, "nexus 5": 4.69, "nexus 5x": 6.2,
+    "g3": 5.9, "g4": 6.1, "g5": 6.4, "g6": 5.9, "g7 thinq": 6.4,
+    "v30": 6.4, "v40 thinq": 6.4, "lg-h815": 6.1, "lg-h850": 6.4,
+    "lg-h870": 5.9, "lm-g710": 6.4,
+})
+_add("motorola", {
+    "nexus 6": 6.2, "moto g (4)": 5.9, "moto g (5)": 5.9,
+    "moto g (5) plus": 6.1, "moto g (7)": 6.2, "moto g power": 6.4,
+    "moto g stylus": 6.4, "moto x4": 6.2, "moto z2 play": 6.1,
+    "edge 30": 8.1, "one action": 6.4,
+})
+_add("oneplus", {
+    "one": 6.2, "2": 6.2, "3": 6.2, "3t": 6.2, "5": 6.2, "5t": 6.4,
+    "6": 6.4, "6t": 6.4, "7": 6.4, "7 pro": 8.0, "7t": 8.0, "8": 8.0,
+    "8 pro": 9.1, "8t": 8.0, "9": 8.0, "9 pro": 9.1, "nord": 8.0,
+    "nord 2": 8.4, "10 pro": 9.1, "11": 9.1,
+})
+_add("htc", {
+    "one": 4.8, "one m8": 4.8, "one m9": 6.2, "10": 6.4, "u11": 6.2,
+    "u12+": 6.2, "desire 626": 4.8, "nexus 9": 4.54,
+})
+_add("nokia", {
+    "lumia 920": 4.8, "lumia 925": 4.8, "lumia 930": 6.6, "lumia 950": 6.6,
+    "lumia 1020": 8.8, "lumia 1520": 6.6, "lumia 520": 4.54,
+    "lumia 620": 4.54, "lumia 630": 4.54, "lumia 635": 4.54,
+    "lumia 640": 4.8, "lumia 650": 4.8, "lumia 735": 4.8, "lumia 830": 5.9,
+    "7 plus": 6.2, "7.2": 6.4, "8": 6.2, "8.3 5g": 8.0, "n8": 8.8,
+    "808 pureview": 10.67,
+})
+_add("asus", {
+    "zenfone 2": 5.9, "zenfone 3": 6.2, "zenfone 5": 6.2, "zenfone 6": 8.0,
+    "zenfone 8": 8.0, "nexus 7": 3.58, "rog phone 3": 8.0,
+})
+_add("oppo", {
+    "find x2 pro": 9.1, "find x3 pro": 8.0, "find x5 pro": 8.0,
+    "reno 10x zoom": 8.0, "reno4 pro 5g": 8.0, "a52": 6.4, "a72": 6.4,
+})
+_add("vivo", {
+    "x60 pro": 8.0, "x80 pro": 9.1, "x90 pro": 12.8, "v21": 8.2,
+    "nex 3": 9.1,
+})
+_add("realme", {"gt": 8.0, "gt 2 pro": 8.0, "8 pro": 8.4, "x2 pro": 8.0})
+_add("fairphone", {"3": 6.4, "4": 8.0, "5": 8.2})
+
+# --- Drones / action / 360 -------------------------------------------------
+_add("dji", {
+    "fc100": _1_23,        # Phantom FC40
+    "fc230": _1_23,        # Spark
+    "fc1102": _1_23,       # Spark variant
+    "fc2403": _1_23,       # Mavic Mini / Mini SE
+    "fc3171": _1_23,       # Mavic Air 2 variant
+    "fc3682": 9.6,         # Mini 4 Pro (1/1.3")
+    "fc4170": 9.6,         # Mavic 3 tele module
+    "fc4280": _FT,         # Mavic 3 Hasselblad (4/3)
+    "fc4382": 9.6,         # Air 3 wide
+    "fc8282": _FT,         # Mavic 3 Pro main
+    "fc6360": _ONE,        # Phantom 4 RTK
+    "fc6520": _FT,         # Inspire 2 / X5S
+    "fc6540": _APSC,       # X7
+    "fc550": _FT,          # Inspire 1 Pro / X5
+    "fc350": _1_23,        # Inspire 1 / X3
+    "fc350z": _1_23,       # Osmo Zoom
+    "fc550raw": _FT,
+    "zenmuse x4s": _ONE,
+    "zh20t": _1_23,
+    "mavic2-enterprise-advanced": _1_23,
+    "osmo action": _1_23, "osmo action 3": _1_17, "osmo action 4": 9.6,
+    "osmo pocket": _1_23, "pocket 2": _1_17, "osmo pocket 3": _ONE,
+    "mini 2": _1_23, "mini 3": 9.6, "mini 3 pro": 9.6, "mini 4 pro": 9.6,
+    "avata": _1_17, "avata 2": 9.6, "neo": _1_23,
+    "air 2s": _ONE, "air 3": 9.6, "mavic 3": _FT, "mavic 3 classic": _FT,
+})
+_add("autel robotics", {
+    "xt701": _1_23,        # EVO II
+    "xt705": _ONE,         # EVO II Pro
+    "xl724": 9.6,          # EVO Lite+
+    "evo nano": _1_23, "evo nano+": 8.4, "evo lite": 9.6,
+})
+_add("yuneec", {
+    "cgo3": _1_23, "cgo3+": _1_23, "cgo4": _FT,
+    "e90": _ONE, "e50": _1_23,
+})
+_add("skydio", {"skydio 2": _1_23, "skydio 2+": _1_23, "x2": _1_23})
+_add("parrot", {
+    "anafi ai": 6.4, "anafi usa": _1_23,
+    "bebop": _1_23, "disco": _1_23,
+})
+_add("gopro", {
+    "hero12 black": _1_17, "hero13 black": _1_17, "hero11 black mini": _1_17,
+    "hero 2018": _1_23, "hero+": _1_23, "hero+ lcd": _1_23,
+    "hd hero": _1_25, "hd hero2": _1_25, "hero3 white edition": _1_25,
+    "hero3 silver edition": _1_25, "hero3+ silver edition": _1_23,
+})
+_add("insta360", {
+    "one": _1_23, "one rs": _1_23, "one rs 1-inch": _ONE,
+    "x3": 6.4, "x4": 6.4, "go 2": _1_23, "go 3": _1_23,
+    "ace pro": 9.6,
+})
+_add("garmin", {
+    "virb xe": _1_23, "virb elite": _1_23, "virb 360 rc": _1_23,
+})
+_add("sjcam", {"sj4000": _1_3, "sj5000": _1_3, "sj6 legend": _1_23,
+               "sj8 pro": _1_23, "sj10 pro": _1_23})
+_add("akaso", {"ek7000": _1_3, "brave 4": _1_3, "brave 7": _1_23,
+               "v50 pro": _1_23})
+_add("xiaoyi", {"yi 4k": _1_23, "yi 4k+": _1_23, "yi lite": _1_23})
+
+# --- More interchangeable-lens + fixed-lens bodies -------------------------
+_add("sigma", {
+    "dp1": _FOVEON, "dp2": _FOVEON, "dp1 merrill": 24.0,
+    "dp2 merrill": 24.0, "dp3 merrill": 24.0, "dp0 quattro": 23.4,
+    "dp1 quattro": 23.4, "dp2 quattro": 23.4, "dp3 quattro": 23.4,
+    "sd9": _FOVEON, "sd10": _FOVEON, "sd14": _FOVEON, "sd15": _FOVEON,
+    "sd1": 24.0, "sd1 merrill": 24.0, "sd quattro": 23.4,
+    "sd quattro h": 26.6, "fp": _FULL, "fp l": _FULL,
+})
+_add("minolta", {
+    "dimage 5": _2_3, "dimage 7": _2_3, "dimage 7i": _2_3,
+    "dimage 7hi": _2_3, "dimage a1": _2_3, "dimage a2": _2_3,
+    "dimage e323": _1_27, "dimage f100": _1_18, "dimage f200": _1_18,
+    "dimage g400": _1_25, "dimage s304": _1_18, "dimage s404": _1_18,
+    "dimage s414": _1_18, "dimage x": _1_27, "dimage xg": _1_27,
+    "dimage xt": _1_27, "dimage x20": _1_27, "dimage x21": _1_27,
+    "dimage x31": _1_27, "dimage x50": _1_25, "dimage x60": _1_25,
+    "dimage z1": _1_27, "dimage z2": _1_25, "dimage z3": _1_25,
+    "dimage z5": _1_25, "dimage z6": _1_25, "dimage z10": _1_25,
+    "dimage z20": _1_25,
+})
+_add("konica minolta", {
+    "dynax 5d": _APSC, "dynax 7d": _APSC, "maxxum 5d": _APSC,
+    "maxxum 7d": _APSC, "dimage a200": _2_3, "dimage x1": _1_18,
+    "dimage z5": _1_25, "dimage z6": _1_25,
+})
+_add("pentax", {
+    "645d": 44.0, "645z": 43.8, "q": _1_23, "q7": _1_17, "q10": _1_23,
+    "q-s1": _1_17, "k-01": _APSC, "k110d": _APSC, "k2000": _APSC,
+    "k-3 mark iii": _APSC, "ist d": _APSC, "ist dl": _APSC,
+    "ist ds": _APSC, "mx-1": _1_17, "x-5": _1_23, "x70": _1_23,
+    "x90": _1_23,
+    "optio 330": _1_18, "optio 430": _1_18, "optio 555": _1_18,
+    "optio a10": _1_25, "optio a20": _1_25, "optio a30": _1_25,
+    "optio a40": _1_25, "optio e50": _1_25, "optio e60": _1_23,
+    "optio e70": _1_23, "optio e85": _1_23, "optio h90": _1_23,
+    "optio i-10": _1_23, "optio l30": _1_25, "optio l40": _1_25,
+    "optio m30": _1_25, "optio m40": _1_25, "optio m50": _1_23,
+    "optio m60": _1_23, "optio m85": _1_23, "optio m90": _1_23,
+    "optio p70": _1_23, "optio p80": _1_23, "optio rs1000": _1_23,
+    "optio rs1500": _1_23, "optio rz10": _1_23, "optio rz18": _1_23,
+    "optio s": _1_25, "optio s1": _1_23, "optio s4": _1_25,
+    "optio s40": _1_25, "optio s45": _1_25, "optio s50": _1_25,
+    "optio s55": _1_25, "optio s60": _1_25, "optio s5i": _1_25,
+    "optio s5z": _1_25, "optio s6": _1_25, "optio s7": _1_25,
+    "optio sv": _1_25, "optio t30": _1_25, "optio v10": _1_25,
+    "optio v20": _1_23, "optio vs20": _1_23, "optio w10": _1_25,
+    "optio w20": _1_25, "optio w30": _1_25, "optio w60": _1_23,
+    "optio w80": _1_23, "optio w90": _1_23, "optio wg-1": _1_23,
+    "optio wg-2": _1_23, "optio wp": _1_25, "optio wpi": _1_25,
+    "optio ws80": _1_23, "optio z10": _1_25,
+    "wg-4": _1_23, "wg-5 gps": _1_23, "wg-50": _1_23, "wg-60": _1_23,
+    "wg-70": _1_23, "wg-80": _1_23, "wg-90": _1_23, "wg-1000": _1_23,
+})
+_add("ricoh", {
+    "gr iiix": _APSC, "gr digital": _1_18, "gr digital ii": _1_17,
+    "gr digital iii": _1_17, "gx100": _1_17, "gx200": _1_17,
+    "caplio gx": _1_18, "caplio gx8": _1_18, "caplio r1": _1_25,
+    "caplio r2": _1_25, "caplio r3": _1_25, "caplio r4": _1_25,
+    "caplio r5": _1_25, "caplio r6": _1_25, "caplio r7": _1_25,
+    "caplio r8": _1_23, "caplio rr30": _1_27,
+    "cx1": _1_23, "cx2": _1_23, "cx3": _1_23, "cx4": _1_23, "cx5": _1_23,
+    "cx6": _1_23, "r8": _1_23, "r10": _1_23, "px": _1_23,
+    "wg-4 gps": _1_23, "wg-5": _1_23, "wg-6": _1_23, "wg-m1": _1_23,
+    "wg-m2": _1_23, "theta sc": _1_23, "theta sc2": _1_23,
+    "theta x": 7.3, "g900": _1_23, "g800": _1_23, "g700": _1_23,
+})
+_add("leica", {
+    "m (typ 262)": _FULL, "m monochrom": _FULL, "m10-p": _FULL,
+    "m10-r": _FULL, "m11": _FULL, "sl2-s": _FULL, "sl3": _FULL,
+    "q3": _FULL, "q (typ 116) ": _FULL, "cl": _APSC, "tl": _APSC,
+    "tl2": _APSC, "t (typ 701)": _APSC, "x1": _APSC, "x2": _APSC,
+    "x vario": _APSC, "x (typ 113)": _APSC,
+    "d-lux 4": 7.9, "d-lux 5": 7.9, "d-lux 6": 7.9,
+    "d-lux (typ 109)": _FT, "d-lux 7": _FT,
+    "v-lux 1": _1_18, "v-lux 2": _1_23, "v-lux 3": _1_23,
+    "v-lux 4": _1_23, "v-lux (typ 114)": _ONE, "v-lux 5": _ONE,
+    "c-lux": _ONE, "c (typ 112)": _1_17, "digilux 2": _2_3,
+})
+_add("hasselblad", {
+    "x1d": 43.8, "x1d ii 50c": 43.8, "x2d 100c": 43.8,
+    "h3dii-39": 49.0, "h4d-40": 44.0, "h5d-50c": 43.8, "h6d-100c": 53.4,
+})
+_add("phase one", {"iq140": 44.0, "iq150": 44.0, "iq180": 53.7,
+                   "iq250": 44.0, "iq3 100mp": 53.7, "iq4 150mp": 53.4})
+_add("om digital solutions", {
+    "om-1": _FT, "om-1 mark ii": _FT, "om-5": _FT, "tg-7": _1_23,
+})
+_add("blackmagic", {
+    "pocket cinema camera": 12.48, "pocket cinema camera 4k": _FT,
+    "pocket cinema camera 6k": _APSC_CANON,
+})
+_add("zeiss", {"zx1": _FULL})
+_add("vivitar", {"vivicam 8025": _1_25, "vivicam x029": _1_3,
+                 "dvr 781hd": _1_3})
+_add("polaroid", {"cube": _1_3, "is048": _1_3, "snap": _1_3})
+_add("nextbase", {"522gw": _1_23, "622gw": _1_23})
+
 _extra: Dict[str, float] = {}
 _loaded_paths = set()
 
@@ -280,8 +934,47 @@ def sensor_data() -> Dict[str, float]:
     return _BUILTIN
 
 
+# EXIF Make strings carry corporate noise ("NIKON CORPORATION",
+# "CASIO COMPUTER CO.,LTD.", "EASTMAN KODAK COMPANY") and often repeat the
+# brand inside Model ("NIKON D90"), so the raw `sensor_string(make, model)`
+# key rarely matches a clean "brand model" table.  Lookup therefore tries
+# progressively normalized candidates.
+_NOISE_TOKENS = {
+    "corporation", "corp", "co", "ltd", "coltd", "company", "inc", "gmbh",
+    "computer", "techwin", "imaging", "optical", "electronics", "electric",
+    "eastman",
+}
+
+
+def _candidates(sensor_string: str):
+    yield sensor_string
+    tokens = [
+        t for t in
+        (tok.strip(".,()").replace(".", "").replace(",", "")
+         for tok in sensor_string.split())
+        if t and t not in _NOISE_TOKENS
+    ]
+    # Collapse the duplicated brand ("nikon nikon d90" -> "nikon d90").
+    dedup = [t for i, t in enumerate(tokens) if i == 0 or t != tokens[i - 1]]
+    yield " ".join(dedup)
+    # Trailing "digital camera" marketing suffix.
+    while dedup and dedup[-1] in ("digital", "camera"):
+        dedup = dedup[:-1]
+    yield " ".join(dedup)
+
+
 def sensor_width(sensor_string: Optional[str]) -> Optional[float]:
-    """Width in mm for a `sensor_string(make, model)` key, or None."""
+    """Width in mm for a `sensor_string(make, model)` key, or None.
+
+    Tries the raw key first (user overrides can target it exactly), then
+    corporate-noise-stripped and brand-deduplicated forms — the reference
+    DB (data/sensor_data.json) instead stores the noisy keys verbatim,
+    which silently misses every vendor string variant it didn't record."""
     if not sensor_string:
         return None
-    return sensor_data().get(sensor_string)
+    table = sensor_data()
+    for key in _candidates(sensor_string):
+        width = table.get(key)
+        if width is not None:
+            return width
+    return None

@@ -73,18 +73,32 @@ class VladCache:
 
     def load_words(self, data) -> np.ndarray:
         if self._centers is None:
-            from opensfm_tpu.bow import resolve_vocabulary_path
-
-            # Pretrained vocabulary (config["vlad_file"], reference
-            # vlad.py:57 load_words) takes precedence.
-            pretrained = resolve_vocabulary_path(
-                data.config.get("vlad_file", ""), data
+            from opensfm_tpu.bow import (
+                descriptor_domain_matches_packaged_vocab,
+                resolve_vocabulary_path,
             )
+
+            # Precedence: (1) an existing dataset-local trained cache —
+            # keeps neighbor ordering stable for datasets processed before
+            # the packaged vocabulary shipped; (2) the pretrained vocabulary
+            # (config["vlad_file"], reference vlad.py:57 load_words) when
+            # the descriptor domain matches it; (3) train locally.
             cache = os.path.join(data.data_path, "vlad_vocabulary.npz")
-            if pretrained is not None:
-                self._centers = np.load(pretrained)["words"].astype(np.float32)
-            elif os.path.isfile(cache):
+            filename = data.config.get("vlad_file", "")
+            local = os.path.join(data.data_path, filename) if filename else ""
+            if local and os.path.isfile(local):
+                # Explicit user-supplied vocabulary always wins.
+                self._centers = np.load(local)["words"].astype(np.float32)
+                return self._centers
+            pretrained = (
+                resolve_vocabulary_path(filename, data)
+                if descriptor_domain_matches_packaged_vocab(data.config)
+                else None
+            )
+            if os.path.isfile(cache):
                 self._centers = np.load(cache)["words"]
+            elif pretrained is not None:
+                self._centers = np.load(pretrained)["words"].astype(np.float32)
             else:
                 from opensfm_tpu.bow import TRAIN_SAMPLE
                 from opensfm_tpu.ops.kmeans import train_kmeans

@@ -37,7 +37,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from test_distributed_ba import _prep  # noqa: E402
+from test_distributed_ba import _prep, _zero_priors  # noqa: E402
 from opensfm_tpu.parallel import make_sharded_cg_lm_step  # noqa: E402
 
 
@@ -69,18 +69,47 @@ def main() -> None:
     step = make_sharded_cg_lm_step(
         mesh, "points", "perspective", pmax, ni, nc, cg_iters=200,
     )
-    out = step(
-        globalize(inst, rep), globalize(cam, rep), globalize(points, sh),
-        globalize(obs_uv, sh), globalize(obs_inv_sd, sh),
-        globalize(obs_point, sh), globalize(obs_inst, sh),
-        globalize(obs_cam, sh), globalize(gps_pos, rep),
-        globalize(gps_inv_sd, rep), globalize(opt_inst, rep),
-        globalize(opt_cam, rep), globalize(opt_points, sh),
-        globalize(np.asarray(lam), rep), globalize(point_base, sh),
+    zp = _zero_priors(np.asarray(cam), np.asarray(points))
+    zp_g = (
+        globalize(np.asarray(zp[0]), rep), globalize(np.asarray(zp[1]), rep),
+        globalize(np.asarray(zp[2]), rep), globalize(np.asarray(zp[3]), sh),
+        globalize(np.asarray(zp[4]), sh), globalize(np.asarray(zp[5]), sh),
     )
-    jax.block_until_ready(out)
-    new_inst = np.asarray(out[0])  # replicated -> addressable everywhere
-    new_cam = np.asarray(out[1])
+
+    g_inst = globalize(inst, rep)
+    g_cam = globalize(cam, rep)
+    g_points = globalize(points, sh)
+
+    # Multi-step descent: three LM steps crossing the process boundary
+    # must monotonically reduce the true objective (asserted host-side by
+    # the parent via the COST lines).
+    for step_i in range(3):
+        out = step(
+            g_inst, g_cam, g_points,
+            globalize(obs_uv, sh), globalize(obs_inv_sd, sh),
+            globalize(obs_point, sh), globalize(obs_inst, sh),
+            globalize(obs_cam, sh), globalize(gps_pos, rep),
+            globalize(gps_inv_sd, rep), *zp_g,
+            globalize(opt_inst, rep), globalize(opt_cam, rep),
+            globalize(opt_points, sh),
+            globalize(np.asarray(lam), rep), globalize(point_base, sh),
+        )
+        jax.block_until_ready(out)
+        g_inst, g_cam, g_points = out
+        from jax.experimental import multihost_utils
+
+        g_points_host = np.asarray(
+            multihost_utils.process_allgather(g_points, tiled=True)
+        )
+        from test_distributed_ba import _reproj_cost
+
+        cost = _reproj_cost(
+            problem, np.asarray(g_inst), np.asarray(g_cam), g_points_host
+        )
+        print(f"COST {step_i} {cost:.12e}", flush=True)
+
+    new_inst = np.asarray(g_inst)  # replicated -> addressable everywhere
+    new_cam = np.asarray(g_cam)
     assert np.all(np.isfinite(new_inst))
     print(f"CHECKSUM inst {float(np.abs(new_inst).sum()):.12e}", flush=True)
     print(f"CHECKSUM cam {float(np.abs(new_cam).sum()):.12e}", flush=True)

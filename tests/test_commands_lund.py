@@ -31,7 +31,7 @@ def lund_dataset(tmp_path_factory):
         "processes": 2,
         # Reference lund config uses GPS neighbors (config.yaml:
         # matching_gps_neighbors: 4 at 2048px/8000 features); at this CI's
-        # reduced 640px/2500 the cross-building bridge pairs (21-22, 25-26)
+        # reduced 800px/3000 the cross-building bridge pairs (21-22, 25-26)
         # yield fewer length>=3 tracks, so chaining needs the wider union
         # the reference supports at scale (pairs_selection.py:581-687):
         # GPS(8) + VLAD(6) + sequence-order(2).  VLAD-only recall@10 of

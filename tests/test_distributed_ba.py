@@ -53,6 +53,18 @@ def _prep(n_devices, n_shots=8, n_points=None, seed=0, dtype=jnp.float32):
     return problem, args, (ni, nr, nc, pmax)
 
 
+def _zero_priors(cam, points):
+    """Disabled camera/point prior arrays for the CG step signature."""
+    return (
+        jnp.zeros_like(cam),                 # cam_prior
+        jnp.zeros_like(cam),                 # cam_prior_inv_sd
+        jnp.zeros(cam.shape, dtype=bool),    # cam_log_mask
+        jnp.zeros_like(points),              # point_prior
+        jnp.zeros_like(points),              # point_prior_inv_sd
+        jnp.zeros(points.shape[0], dtype=points.dtype),  # point_prior_loss
+    )
+
+
 def _reproj_cost(problem, inst, cam, points):
     """Plain (unrobustified) whitened reprojection SSE, computed in numpy
     via the camera library — an independent oracle for 'the step helped'."""
@@ -220,9 +232,12 @@ def test_cg_sharded_step_matches_dense_solve():
     (inst, rigcam, cam, points, obs_uv, obs_inv_sd, obs_point, obs_inst,
      obs_rigcam, obs_cam, point_obs, gps_pos, gps_inv_sd, opt_inst,
      opt_cam, opt_points, lam, point_base) = args
+    # Zero priors: the reference dense step above carries no camera/point
+    # prior rows, so parity needs them disabled.
+    zp = _zero_priors(cam, points)
     out_cg = step_cg(
         inst, cam, points, obs_uv, obs_inv_sd, obs_point, obs_inst,
-        obs_cam, gps_pos, gps_inv_sd, opt_inst, opt_cam, opt_points,
+        obs_cam, gps_pos, gps_inv_sd, *zp, opt_inst, opt_cam, opt_points,
         lam, point_base,
     )
 
@@ -252,12 +267,13 @@ def test_cg_sharded_step_reduces_cost():
     (inst, rigcam, cam, points, obs_uv, obs_inv_sd, obs_point, obs_inst,
      obs_rigcam, obs_cam, point_obs, gps_pos, gps_inv_sd, opt_inst,
      opt_cam, opt_points, lam, point_base) = args
+    zp = _zero_priors(cam, points)
 
     c_prev = _reproj_cost(problem, inst, cam, points)
     for _ in range(3):
         inst, cam, points = step(
             inst, cam, points, obs_uv, obs_inv_sd, obs_point, obs_inst,
-            obs_cam, gps_pos, gps_inv_sd, opt_inst, opt_cam, opt_points,
+            obs_cam, gps_pos, gps_inv_sd, *zp, opt_inst, opt_cam, opt_points,
             lam, point_base,
         )
         c = _reproj_cost(problem, inst, cam, points)

@@ -33,7 +33,7 @@ def _single_process_checksums():
     from jax.sharding import Mesh
 
     sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
-    from test_distributed_ba import _prep
+    from test_distributed_ba import _prep, _zero_priors
     from opensfm_tpu.parallel import make_sharded_cg_lm_step
 
     devices = np.array(jax.devices()[:8])
@@ -45,14 +45,17 @@ def _single_process_checksums():
     step = make_sharded_cg_lm_step(
         mesh, "points", "perspective", pmax, ni, nc, cg_iters=200,
     )
-    out = step(
-        inst, cam, points, obs_uv, obs_inv_sd, obs_point, obs_inst,
-        obs_cam, gps_pos, gps_inv_sd, opt_inst, opt_cam, opt_points,
-        lam, point_base,
-    )
+    zp = _zero_priors(cam, points)
+    # Same three fixed-lambda steps as the worker.
+    for _ in range(3):
+        inst, cam, points = step(
+            inst, cam, points, obs_uv, obs_inv_sd, obs_point, obs_inst,
+            obs_cam, gps_pos, gps_inv_sd, *zp, opt_inst, opt_cam,
+            opt_points, lam, point_base,
+        )
     return (
-        float(np.abs(np.asarray(out[0])).sum()),
-        float(np.abs(np.asarray(out[1])).sum()),
+        float(np.abs(np.asarray(inst)).sum()),
+        float(np.abs(np.asarray(cam)).sum()),
     )
 
 
@@ -92,7 +95,15 @@ def test_two_process_distributed_ba():
     # Replicated outputs identical across the two processes.
     np.testing.assert_allclose(c0, c1, rtol=1e-12)
 
-    # And equal to the same step run single-process over 8 local devices
+    # Multi-step descent across the process boundary: three LM steps must
+    # monotonically reduce the true objective (not just produce matching
+    # checksums).
+    costs = [float(c) for _, c in re.findall(r"COST (\d+) ([0-9.e+-]+)",
+                                             outs[0])]
+    assert len(costs) == 3, outs[0]
+    assert costs[1] < costs[0] and costs[2] < costs[1], costs
+
+    # And equal to the same steps run single-process over 8 local devices
     # (partitioned psum == single-host sum up to reduction-order noise).
     ref = _single_process_checksums()
     np.testing.assert_allclose(c0, ref, rtol=1e-8)
