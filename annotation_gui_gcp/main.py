@@ -49,6 +49,79 @@ def analyze_dataset(dataset_path: str):
     return {"reprojections": reproj, "geo_errors": geo}
 
 
+def load_model_payload(dataset_path: str):
+    """Reconstruction summary for the map/CAD pane (reference
+    annotation_gui_gcp/lib/views/cad_view.py role: a georeferenced model
+    the user clicks to place control points): subsampled point cloud,
+    shot origins and the topocentric reference."""
+    from opensfm_tpu.dataset import DataSet
+
+    data = DataSet(dataset_path)
+    if not data.reconstruction_exists():
+        return {"error": "no reconstruction.json — run the pipeline first"}
+    rec = data.load_reconstruction()[0]
+    pts = list(rec.points.values())
+    step = max(len(pts) // 20000, 1)
+    points = []
+    for p in pts[::step]:
+        c = p.coordinates
+        col = getattr(p, "color", None)
+        col = [int(x) for x in col] if col is not None else [180, 180, 180]
+        points.append([
+            round(float(c[0]), 3), round(float(c[1]), 3),
+            round(float(c[2]), 3), col[0], col[1], col[2],
+        ])
+    shots = {
+        sid: [round(float(v), 3) for v in shot.pose.get_origin()]
+        for sid, shot in rec.shots.items()
+    }
+    ref = None
+    if data.reference_lla_exists():
+        lla = data.load_reference_lla()
+        ref = [lla["latitude"], lla["longitude"], lla["altitude"]]
+    return {"points": points, "shots": shots, "reference_lla": ref}
+
+
+def cp_finder_candidates(manager, point_id: str, shown):
+    """Candidate images for the selected control point, images not in any
+    other open view first (reference lib/views/cp_finder_view.py:21-37
+    get_candidate_images ordering)."""
+    point = manager.points.get(point_id)
+    if not point:
+        return []
+    observed = [o["shot_id"] for o in point["observations"]]
+    unaccounted = [i for i in observed if i not in shown]
+    in_views = [i for i in observed if i in shown]
+    return unaccounted + in_views
+
+
+def set_position_from_world(manager, dataset_path: str, point_id: str,
+                            x: float, y: float, z: float = 0.0):
+    """Click in the georeferenced model pane -> world (topocentric)
+    coordinates -> LLA position for the point (reference cad_view.py
+    add_remove_update_point_observation with is_geo_reference=True: the
+    model click PLACES the point)."""
+    from opensfm_tpu.dataset import DataSet
+    from opensfm_tpu.geo import TopocentricConverter
+
+    data = DataSet(dataset_path)
+    if not data.reference_lla_exists():
+        return {"error": "no reference_lla.json"}
+    lla = data.load_reference_lla()
+    conv = TopocentricConverter(
+        lla["latitude"], lla["longitude"], lla["altitude"]
+    )
+    lat, lon, alt = conv.to_lla(x, y, z)
+    if point_id not in manager.points:
+        manager.add_point(point_id)
+    manager.set_point_position(point_id, float(lat), float(lon), float(alt))
+    manager.write_to_file()
+    return {
+        "ok": True, "latitude": float(lat), "longitude": float(lon),
+        "altitude": float(alt),
+    }
+
+
 class AnnotationHandler(SimpleHTTPRequestHandler):
     dataset_path = "."
     manager: GroundControlPointManager = None
@@ -56,6 +129,7 @@ class AnnotationHandler(SimpleHTTPRequestHandler):
     def do_GET(self):  # noqa: N802 (stdlib API)
         parsed = urllib.parse.urlparse(self.path)
         path = posixpath.normpath(parsed.path)
+        query = urllib.parse.parse_qs(parsed.query)
         if path in ("/", "/index.html"):
             return self._serve_file(
                 os.path.join(HERE, "templates", "annotation.html"), "text/html"
@@ -65,13 +139,47 @@ class AnnotationHandler(SimpleHTTPRequestHandler):
                 os.listdir(os.path.join(self.dataset_path, "images"))
             )
             return self._json({"images": images})
+        if path == "/sequences":
+            return self._json({"sequences": self._sequences()})
         if path == "/points":
             return self._json({"points": self.manager.points})
+        if path == "/model":
+            return self._json(load_model_payload(self.dataset_path))
+        if path == "/cp_finder":
+            point_id = (query.get("point_id") or [""])[0]
+            shown = [
+                s for s in (query.get("shown") or [""])[0].split(",") if s
+            ]
+            return self._json({
+                "images": cp_finder_candidates(
+                    self.manager, point_id, shown
+                ),
+            })
         if path.startswith("/image/"):
             image = urllib.parse.unquote(path[len("/image/"):])
             candidate = os.path.join(self.dataset_path, "images", image)
             return self._serve_file(candidate, "image/jpeg")
         self.send_error(404)
+
+    def _sequences(self):
+        """Images grouped by camera id — the reference GUI's per-rig-camera
+        sequence views (lib/GUI.py rig_groups / sequence_views)."""
+        groups = {}
+        images = sorted(
+            os.listdir(os.path.join(self.dataset_path, "images"))
+        )
+        try:
+            from opensfm_tpu.dataset import DataSet
+
+            data = DataSet(self.dataset_path)
+            for image in images:
+                cam = "unknown"
+                if data.exif_exists(image):
+                    cam = data.load_exif(image).get("camera", "unknown")
+                groups.setdefault(cam, []).append(image)
+        except Exception:
+            groups = {"all": images}
+        return groups
 
     def do_POST(self):  # noqa: N802 (stdlib API)
         length = int(self.headers.get("Content-Length", 0))
@@ -103,6 +211,12 @@ class AnnotationHandler(SimpleHTTPRequestHandler):
             )
             m.write_to_file()
             return self._json({"ok": True})
+        if path == "/cad_position":
+            return self._json(set_position_from_world(
+                m, self.dataset_path, body["point_id"],
+                float(body["x"]), float(body["y"]),
+                float(body.get("z", 0.0)),
+            ))
         if path == "/analyze":
             return self._json(analyze_dataset(self.dataset_path))
         self.send_error(404)

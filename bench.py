@@ -246,12 +246,13 @@ def main() -> None:
     except Exception as e:  # pragma: no cover
         print(f"matching bench failed: {e}", file=sys.stderr)
     try:
-        # Multi-device sharded-step measurement on a virtual CPU mesh
-        # (subprocess; the TPU process keeps its platform).  On this
-        # single-host machine XLA-CPU already uses every core for the
-        # 1-device run, so the printed efficiency is a LOWER bound for
-        # real multi-chip ICI scaling — it validates the sharded program,
-        # not chip scaling (no multi-chip hardware on the bench host).
+        # Multi-device CG-path scaling lanes on the CPU mesh (subprocess;
+        # the TPU process keeps its platform): partition overhead
+        # (N-way-sharded vs unsharded on identical compute — isolates the
+        # collective/partition cost), a 2-process jax.distributed
+        # strong-scaling lane on pinned cores, and the per-CG-iteration
+        # psum payload + predicted multichip comm fraction.  See
+        # bench_scaling.py for why a shared-memory host cannot fake more.
         import os
         import subprocess
 
@@ -259,8 +260,8 @@ def main() -> None:
         env.pop("JAX_PLATFORMS", None)
         out = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(
-                os.path.abspath(__file__)), "bench_scaling.py"), "2"],
-            capture_output=True, text=True, timeout=600, env=env,
+                os.path.abspath(__file__)), "bench_scaling.py"), "8"],
+            capture_output=True, text=True, timeout=1800, env=env,
         )
         line = out.stdout.strip().splitlines()[-1]
         extra["cpu_mesh_scaling"] = json.loads(line)

@@ -1773,16 +1773,30 @@ def _total_cost(state, data, ptype, loss, loss_threshold, pmax,
         and points.dtype == jnp.float32
         and jax.default_backend() == "tpu"
     ):
+        from opensfm_tpu.ops.pallas_kernels.ba_assemble import (
+            PB as _PB,
+            fused_cost_dense,
+        )
         from opensfm_tpu.ops.pallas_kernels.ba_resjac import fused_cost
 
         num_obs = d["obs_uv"].shape[0]
-        point_repeat = num_obs // points.shape[0] if canonical else 0
-        total = fused_cost(
-            inst, cam, points, d["obs_inst"], d["obs_cam"], d["obs_point"],
-            d["obs_uv"], d["obs_inv_sd"], loss=loss,
-            loss_threshold=loss_threshold, point_repeat=point_repeat,
-            dense_inst=dense,
-        )
+        if dense and cam.shape[0] == 1 and points.shape[0] % _PB == 0:
+            # Dense instance-slot layout: read the [NP, NI] tiles straight
+            # from HBM (no [O, 15] pack / feature-major transpose — that
+            # repack cost MORE than the whole LM step at the large lane).
+            total = fused_cost_dense(
+                inst, cam, points, d["obs_uv"], d["obs_inv_sd"],
+                loss=loss, loss_threshold=loss_threshold,
+                ni=inst.shape[0],
+            )
+        else:
+            point_repeat = num_obs // points.shape[0] if canonical else 0
+            total = fused_cost(
+                inst, cam, points, d["obs_inst"], d["obs_cam"],
+                d["obs_point"], d["obs_uv"], d["obs_inv_sd"], loss=loss,
+                loss_threshold=loss_threshold, point_repeat=point_repeat,
+                dense_inst=dense,
+            )
         for pr, _, _ in _prior_residuals(state, data):
             total = total + 0.5 * jnp.sum(pr * pr)
         rho_c = LOSSES["CauchyLoss"][0]

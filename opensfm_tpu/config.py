@@ -65,7 +65,10 @@ DEFAULTS: Dict[str, Any] = dict(
     flann_tree=8,
     flann_checks=20,
     # -- BoW ----------------------------------------------------------------
-    bow_file="bow_hahog_root_uchar_1024.npz",
+    # Reference-scale pretrained vocabulary (reference config.py:120
+    # bow_hahog_root_uchar_10000.npz); the 1,024-word one remains shipped
+    # for memory-constrained runs.
+    bow_file="bow_hahog_root_uchar_10000.npz",
     bow_words_to_match=50,
     bow_num_checks=20,
     bow_matcher_type="FLANN",

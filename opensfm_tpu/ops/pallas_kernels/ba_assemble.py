@@ -269,6 +269,105 @@ def _make_kernel(loss: str, loss_threshold: float, ni: int, n_blocks: int):
     return kernel
 
 
+def _make_cost_kernel_dense(loss: str, loss_threshold: float,
+                            n_blocks: int):
+    from opensfm_tpu.ba.lm import LOSSES
+    from opensfm_tpu.ops.pallas_kernels.ba_resjac import chain_fwd
+
+    rho, _ = LOSSES[loss]
+    a2 = loss_threshold * loss_threshold
+
+    def kernel(u_ref, v_ref, isd_ref, x0_ref, x1_ref, x2_ref,
+               inst_ref, cam_ref, out_ref, acc_ref):
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        one_row = inst_ref[0:1, :] * 0.0 + 1.0
+        x0 = jnp.broadcast_to(x0_ref[:], u_ref.shape)
+        x1 = jnp.broadcast_to(x1_ref[:], u_ref.shape)
+        x2 = jnp.broadcast_to(x2_ref[:], u_ref.shape)
+        vals = (
+            inst_ref[0:1, :], inst_ref[1:2, :], inst_ref[2:3, :],
+            inst_ref[3:4, :], inst_ref[4:5, :], inst_ref[5:6, :],
+            cam_ref[0, 0] * one_row, cam_ref[0, 1] * one_row,
+            cam_ref[0, 2] * one_row,
+            x0, x1, x2,
+        )
+        p0, p1 = chain_fwd(vals)
+        isd = isd_ref[:]
+        e0 = (p0 - u_ref[:]) * isd
+        e1 = (p1 - v_ref[:]) * isd
+        s = e0 * e0 + e1 * e1
+        acc_ref[:] = acc_ref[:] + jnp.sum(
+            0.5 * a2 * rho(s / a2), axis=0, keepdims=True
+        )
+
+        @pl.when(step == n_blocks - 1)
+        def _():
+            out_ref[:] = acc_ref[:]
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("loss", "loss_threshold", "ni",
+                                   "interpret"))
+def fused_cost_dense(
+    inst, cam, points, obs_uv, obs_inv_sd,
+    loss: str, loss_threshold: float, ni: int, interpret: bool = False,
+):
+    """Total robust reprojection cost over the dense instance-slot layout.
+
+    Same input scheme as `fused_schur_assembly` — [NP, NI] observation
+    tiles read straight from HBM, per-point coordinates as [PB, 1] columns
+    broadcast in VMEM — so the accept/reject trial touches ~100 MB instead
+    of the [O, 15] pack + feature-major transpose the generic `fused_cost`
+    pays (~1.5 GB at the 256-cam/32k-pt lane: 10.2 ms -> ~0.5 ms)."""
+    NP = points.shape[0]
+    assert NP % PB == 0, NP
+    n_blocks = NP // PB
+    dtype = jnp.float32
+
+    u = obs_uv[:, 0].reshape(NP, ni).astype(dtype)
+    v = obs_uv[:, 1].reshape(NP, ni).astype(dtype)
+    isd = obs_inv_sd.reshape(NP, ni).astype(dtype)
+    inst_t = jnp.concatenate(
+        [inst[:, :6].T.astype(dtype), jnp.zeros((2, ni), dtype)], axis=0
+    )
+    cam_row = jnp.concatenate(
+        [cam[0, :3].astype(dtype), jnp.zeros((5,), dtype)]
+    )[None]
+
+    obs_spec = pl.BlockSpec((PB, ni), lambda i: (i, _Z),
+                            memory_space=pltpu.VMEM)
+    pt_spec = pl.BlockSpec((PB, 1), lambda i: (i, _Z),
+                           memory_space=pltpu.VMEM)
+    partial_rows = pl.pallas_call(
+        _make_cost_kernel_dense(loss, float(loss_threshold), n_blocks),
+        grid=(n_blocks,),
+        in_specs=[
+            obs_spec, obs_spec, obs_spec,
+            pt_spec, pt_spec, pt_spec,
+            pl.BlockSpec((8, ni), lambda i: (_Z, _Z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8), lambda i: (_Z, _Z),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ni), lambda i: (_Z, _Z),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, ni), dtype),
+        scratch_shapes=[pltpu.VMEM((1, ni), dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(u, v, isd, points[:, 0:1].astype(dtype), points[:, 1:2].astype(dtype),
+      points[:, 2:3].astype(dtype), inst_t, cam_row)
+    return jnp.sum(partial_rows)
+
+
 @partial(
     jax.jit,
     static_argnames=("loss", "loss_threshold", "ni", "interpret"),

@@ -67,6 +67,32 @@ def _chain(vals):
     return f * d * u, f * d * v
 
 
+def chain_fwd(vals):
+    """Forward projection only (the accept/reject cost path needs no
+    Jacobians).  Same math as the first section of `chain_fwd_jac`."""
+    w0, w1, w2, t0, t1, t2, k1, k2, f, x0, x1, x2 = vals
+    th2 = w0 * w0 + w1 * w1 + w2 * w2
+    small = th2 < _EPS2
+    safe2 = jnp.where(small, jnp.ones_like(th2), th2)
+    th = jnp.sqrt(safe2)
+    cos_t = jnp.where(small, 1.0 - th2 / 2.0, jnp.cos(th))
+    sinc = jnp.where(small, 1.0 - th2 / 6.0, jnp.sin(th) / th)
+    ccos = jnp.where(small, 0.5 - th2 / 24.0, (1.0 - cos_t) / safe2)
+    cxx = w1 * x2 - w2 * x1
+    cyy = w2 * x0 - w0 * x2
+    czz = w0 * x1 - w1 * x0
+    rdx = w0 * x0 + w1 * x1 + w2 * x2
+    X0 = x0 * cos_t + cxx * sinc + w0 * rdx * ccos + t0
+    X1 = x1 * cos_t + cyy * sinc + w1 * rdx * ccos + t1
+    X2 = x2 * cos_t + czz * sinc + w2 * rdx * ccos + t2
+    iz = 1.0 / X2
+    u = X0 * iz
+    v = X1 * iz
+    r2 = u * u + v * v
+    d = 1.0 + r2 * (k1 + k2 * r2)
+    return f * d * u, f * d * v
+
+
 def chain_fwd_jac(vals):
     """Forward projection + all 12 Jacobian columns, hand-structured.
 

@@ -104,11 +104,24 @@ class SyntheticDataSet(DataSetBase):
         pass
 
     # -- rigs ---------------------------------------------------------------
+    # Derived from the ground-truth reconstruction when not passed
+    # explicitly, exactly like the reference
+    # (synthetic_dataset.py:98-108): without this the rig e2e scene runs
+    # as mono — no shared instances, no rig-camera locking — and misses
+    # the reference's strict rig bounds.
     def load_rig_cameras(self):
-        return dict(self.rig_cameras_data)
+        if self.rig_cameras_data:
+            return dict(self.rig_cameras_data)
+        return dict(self.reconstruction.rig_cameras)
 
     def load_rig_assignments(self):
-        return list(self.rig_assignments_data)
+        if self.rig_assignments_data:
+            return list(self.rig_assignments_data)
+        return [
+            [(shot_id, rig_camera.id)
+             for shot_id, rig_camera in instance.rig_cameras.items()]
+            for instance in self.reconstruction.rig_instances.values()
+        ]
 
     # -- GCPs ---------------------------------------------------------------
     def load_ground_control_points(self):

@@ -8,7 +8,9 @@ from functools import partial
 from __graft_entry__ import _make_problem
 from opensfm_tpu.ba import lm
 
-n_shots, n_points = 64, 8192
+import os
+n_shots = int(os.environ.get("PROF_SHOTS", 64))
+n_points = int(os.environ.get("PROF_POINTS", 8192))
 problem, dense = lm.canonicalize_problem_dense(
     _make_problem(n_shots=n_shots, n_points=n_points, seed=0))
 ni, nr, nc, npts, O, T = problem.counts()
@@ -130,3 +132,35 @@ def kernel_only(state, data, lam):
     return jax.lax.fori_loop(0, N, body, state)
 
 timeit("fused kernel only", lambda: kernel_only(state, data, lam), N)
+
+
+# 6. matmul roofline anchors: the ideal S_II contraction as one big matmul.
+K = npts * 3
+A32 = jnp.ones((6 * ni, K), jnp.float32)
+B32 = jnp.ones((K, 6 * ni), jnp.float32)
+A16 = A32.astype(jnp.bfloat16)
+B16 = B32.astype(jnp.bfloat16)
+
+
+@jax.jit
+def mm_f32(a, b):
+    def body(_, acc):
+        return acc + jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)[0, 0]
+    return jax.lax.fori_loop(0, N, body, jnp.zeros((), jnp.float32))
+
+
+@jax.jit
+def mm_bf16(a, b):
+    def body(_, acc):
+        return acc + jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)[0, 0]
+    return jax.lax.fori_loop(0, N, body, jnp.zeros((), jnp.float32))
+
+
+flops = 2.0 * (6 * ni) * (6 * ni) * K
+out = timeit("anchor matmul f32", lambda: mm_f32(A32, B32), N)
+out = timeit("anchor matmul bf16", lambda: mm_bf16(A16, B16), N)
+print(f"anchor matmul FLOPs/iter: {flops/1e12:.3f} TF")

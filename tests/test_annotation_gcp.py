@@ -91,3 +91,48 @@ def test_decompose_covariance():
     cov = np.diag([4.0, 1.0, 0.25])
     _, sigmas = run_ba.decompose_covariance(cov)
     assert np.allclose(sorted(sigmas), [0.5, 1.0, 2.0])
+
+
+def test_cp_finder_candidate_ordering(tmp_path):
+    """Images observing the point but NOT shown in other views come first
+    (reference lib/views/cp_finder_view.py:21-37)."""
+    from annotation_gui_gcp.main import cp_finder_candidates
+
+    m = GroundControlPointManager(str(tmp_path))
+    m.add_point("p1")
+    for im in ("im1", "im2", "im3"):
+        m.add_point_observation("p1", im, [0.0, 0.0])
+    cands = cp_finder_candidates(m, "p1", shown=["im2"])
+    assert cands == ["im1", "im3", "im2"]
+    assert cp_finder_candidates(m, "nope", shown=[]) == []
+
+
+def test_cad_position_places_point_geo(tmp_path):
+    """A world-frame click converts through the dataset's reference_lla to
+    a LLA position (cad_view is_geo_reference semantics)."""
+    import json as _json
+
+    from annotation_gui_gcp.main import set_position_from_world
+    from opensfm_tpu.geo import TopocentricConverter
+
+    (tmp_path / "reference_lla.json").write_text(_json.dumps(
+        {"latitude": 47.0, "longitude": 6.0, "altitude": 10.0}
+    ))
+    m = GroundControlPointManager(str(tmp_path))
+    res = set_position_from_world(m, str(tmp_path), "cp0", 100.0, 50.0, 2.0)
+    assert res["ok"]
+    conv = TopocentricConverter(47.0, 6.0, 10.0)
+    x, y, z = conv.to_topocentric(
+        res["latitude"], res["longitude"], res["altitude"]
+    )
+    np.testing.assert_allclose([x, y, z], [100.0, 50.0, 2.0], atol=1e-6)
+    # Persisted in the pipeline-readable format.
+    with open(os.path.join(tmp_path, "ground_control_points.json")) as f:
+        gcps = osfm_io.read_ground_control_points(f)
+    assert gcps[0].lla["latitude"] == res["latitude"]
+
+
+def test_model_payload_requires_reconstruction(tmp_path):
+    from annotation_gui_gcp.main import load_model_payload
+
+    assert "error" in load_model_payload(str(tmp_path))

@@ -95,3 +95,39 @@ def test_reconstruction_incremental_strict(seed) -> None:
     assert 3.0 < errors["absolute_gps_rmse"] < 7.0
     assert 0.01 < errors["absolute_gcp_rmse_horizontal"] < 0.05
     assert 0.05 < errors["absolute_gcp_rmse_vertical"] < 0.18
+
+
+def test_reconstruction_incremental_rig() -> None:
+    """Rig-scene e2e with the reference's STRICT bounds
+    (test_reconstruction_incremental.py:54-81: aligned_position_rmse
+    < 0.005, rotation < 0.001, points < 0.05, gps < 0.15): four rig
+    cameras (front/back/left/right) locked into shared instances, rig
+    calibration adjusted through the full incremental loop."""
+    np.random.seed(42)
+    reference = geo.TopocentricConverter(47.0, 6.0, 0)
+    data = synthetic_examples.synthetic_rig_scene(reference)
+    scene = synthetic_scene.SyntheticInputData(
+        data.get_reconstruction(), reference, 40, 1.0, 0.1, 0.1,
+        (0.0, 0.0), False,
+    )
+    dataset = synthetic_dataset.SyntheticDataSet(
+        scene.reconstruction, scene.exifs, scene.features,
+        scene.tracks_manager,
+    )
+    dataset.config["align_method"] = "orientation_prior"
+    _, recs = reconstruction.incremental_reconstruction(
+        dataset, scene.tracks_manager
+    )
+    errors = synthetic_scene.compare(scene.reconstruction, {}, recs[0])
+
+    assert recs[0].reference.lat == 47.0
+    assert recs[0].reference.lon == 6.0
+
+    assert errors["ratio_cameras"] == 1.0
+    assert 0.7 < errors["ratio_points"] < 1.0
+
+    assert 0 < errors["aligned_position_rmse"] < 0.005
+    assert 0 < errors["aligned_rotation_rmse"] < 0.001
+    assert 0 < errors["aligned_points_rmse"] < 0.05
+
+    assert 0 < errors["absolute_gps_rmse"] < 0.15

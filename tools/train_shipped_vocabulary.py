@@ -13,7 +13,10 @@ import argparse
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Train on whatever accelerator JAX provides (the kmeans is a matmul
+# Lloyd loop — a 10k-word vocabulary over ~250k descriptors is minutes
+# on a TPU chip, hours on a 2-core CPU).  Set JAX_PLATFORMS=cpu to
+# force CPU.
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -73,7 +76,9 @@ def main() -> None:
         assign_words_topk(jnp.asarray(descriptors), jnp.asarray(words), 1)
     )[:, 0]
     freq = np.bincount(assign, minlength=args.words) + 1
-    bow_path = os.path.join(out_dir, "bow_hahog_root_uchar_1024.npz")
+    bow_path = os.path.join(
+        out_dir, f"bow_hahog_root_uchar_{args.words}.npz"
+    )
     np.savez_compressed(
         bow_path, words=words.astype(np.float32), frequencies=freq
     )
