@@ -16,11 +16,17 @@ def test_shipped_bow_vocabulary_loads():
     from opensfm_tpu.config import default_config
 
     config = default_config()
+    # Reference-scale default (config.py:120: 10,000 words)...
     path = bow.resolve_vocabulary_path(config["bow_file"])
     assert path is not None, "shipped BoW vocabulary missing"
     words, freq = bow.load_bow_words_and_frequencies(config)
-    assert words.shape == (1024, 128)
-    assert freq.shape == (1024,) and (freq >= 1).all()
+    assert words.shape == (10000, 128)
+    assert freq.shape == (10000,) and (freq >= 1).all()
+    # ...plus the compact 1,024-word variant for memory-constrained runs.
+    small = bow.resolve_vocabulary_path("bow_hahog_root_uchar_1024.npz")
+    assert small is not None
+    w2 = np.load(small)["words"]
+    assert w2.shape == (1024, 128)
 
 
 def test_load_vocabulary_prefers_pretrained(tmp_path):
@@ -29,7 +35,7 @@ def test_load_vocabulary_prefers_pretrained(tmp_path):
 
     data = _FakeData(tmp_path, default_config())
     bag = bow.load_vocabulary(data)
-    assert bag.words.shape == (1024, 128)
+    assert bag.words.shape == (10000, 128)
     # No on-the-fly training artifact was created.
     assert not os.path.isfile(tmp_path / "bow_vocabulary.npz")
     # Histograms work against the shipped words.
@@ -37,7 +43,7 @@ def test_load_vocabulary_prefers_pretrained(tmp_path):
     desc = rng.uniform(0, 255, size=(50, 128)).astype(np.float32)
     w = bag.map_to_words(desc, 1)
     h = bag.histogram(w)
-    assert h.shape == (1024,) and abs(h.sum() - 1.0) < 1e-9
+    assert h.shape == (10000,) and abs(h.sum() - 1.0) < 1e-9
 
 
 def test_vlad_cache_prefers_pretrained(tmp_path):

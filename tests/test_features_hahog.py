@@ -137,9 +137,10 @@ def test_hahog_config_path_uses_hessian(monkeypatch):
 
     def fake_extract(image_gray, peak_threshold, target_features,
                      upsample=True, root_uchar=False, detector="dog",
-                     n_orientations=1):
+                     n_orientations=1, edge_threshold=10.0):
         seen["detector"] = detector
         seen["n_orientations"] = n_orientations
+        seen["edge_threshold"] = edge_threshold
         return np.zeros((target_features, 4)), np.zeros((target_features, 128))
 
     monkeypatch.setattr(
