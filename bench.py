@@ -46,6 +46,37 @@ def _device_peak(device) -> float:
     return 197e12  # v5e-class default
 
 
+def measure_matmul_peak(jax, jnp, n: int = 4096, iters: int = 10) -> float:
+    """Measured dense-matmul FLOP/s on THIS device (chained n^3 matmuls,
+    each product feeding the next so nothing can be sliced or factored
+    away).  The datasheet bf16 peak is unreachable on a shared/tunneled
+    chip — e.g. the round-3 bench host's 'TPU v5 lite' measures ~61 TF/s
+    where the v5e datasheet says 197 — so MFU is reported against BOTH."""
+    import numpy as _np
+
+    a0 = jnp.asarray(_np.random.rand(n, n).astype(_np.float32) * 0.01)
+    b = jnp.asarray(_np.random.rand(n, n).astype(_np.float32) * 0.01)
+
+    @jax.jit
+    def run(a):
+        def body(_, aa):
+            c = jax.lax.dot_general(
+                aa, b, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return c * 1e-3
+        return jnp.sum(jnp.abs(jax.lax.fori_loop(0, iters, body, a)))
+
+    float(run(a0))  # compile
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        float(run(a0))
+        dt = (time.time() - t0) / iters
+        best = dt if best is None else min(best, dt)
+    return 2.0 * n ** 3 / best
+
+
 def bench_ba(jax, jnp, n_shots=64, n_points=8192, iters=20):
     from functools import partial
 
@@ -217,7 +248,19 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    measured_peak = None
+    try:
+        measured_peak = measure_matmul_peak(jax, jnp)
+    except Exception as e:  # pragma: no cover
+        print(f"matmul peak calibration failed: {e}", file=sys.stderr)
+
     ba_rate, extra = bench_ba(jax, jnp)
+    if measured_peak:
+        extra["measured_matmul_tflops"] = round(measured_peak / 1e12, 1)
+        if "ba_achieved_tflops" in extra:
+            extra["ba_mfu_vs_measured_peak"] = round(
+                extra["ba_achieved_tflops"] * 1e12 / measured_peak, 4
+            )
     try:
         # Throughput-bound lane: 256 cameras / 32k points / 8.4M observation
         # slots (~0.47 TFLOP/iter, dominated by the S_II Schur contraction)
@@ -232,6 +275,10 @@ def main() -> None:
         extra["ba_large_achieved_tflops"] = large_extra.get(
             "ba_achieved_tflops"
         )
+        if measured_peak and large_extra.get("ba_achieved_tflops"):
+            extra["ba_large_mfu_vs_measured_peak"] = round(
+                large_extra["ba_achieved_tflops"] * 1e12 / measured_peak, 4
+            )
     except Exception as e:  # pragma: no cover
         print(f"large BA bench failed: {e}", file=sys.stderr)
     try:

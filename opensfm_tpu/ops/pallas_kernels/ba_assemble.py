@@ -68,7 +68,8 @@ def _sym3_inv(h_xx, h_xy, h_xz, h_yy, h_yz, h_zz):
             c_yy * inv_det, c_yz * inv_det, c_zz * inv_det)
 
 
-def _make_kernel(loss: str, loss_threshold: float, ni: int, n_blocks: int):
+def _make_kernel(loss: str, loss_threshold: float, ni: int, n_blocks: int,
+                 emit_obs: bool = True):
     from opensfm_tpu.ba.lm import LOSSES
 
     rho, drho = LOSSES[loss]
@@ -84,14 +85,16 @@ def _make_kernel(loss: str, loss_threshold: float, ni: int, n_blocks: int):
         cam_ref,                            # [1, 8]: k1 k2 f lam opt0 opt1 opt2
         optp_ref, ppr0_ref, ppr1_ref, ppr2_ref,  # [PB, 1]
         ppw0_ref, ppw1_ref, ppw2_ref,       # [PB, 1]
-        # outputs
-        out_obs_ref,                        # [N_OUT_OBS, PB, NI]
-        out_pt_ref,                         # [N_OUT_PT, PB]
-        out_sII_ref,                        # [ni6, ni6]   (x-major: row x*NI+a)
-        out_aux_ref,                        # [96, NI]
-        # scratch
-        sII_acc, aux_acc, cat_a, cat_g,
+        # outputs (out_obs_ref only when emit_obs)
+        *refs,
     ):
+        if emit_obs:
+            (out_obs_ref, out_pt_ref, out_sII_ref, out_aux_ref,
+             sII_acc, aux_acc, cat_a, cat_g) = refs
+        else:
+            (out_pt_ref, out_sII_ref, out_aux_ref,
+             sII_acc, aux_acc, cat_a, cat_g) = refs
+            out_obs_ref = None
         step = pl.program_id(0)
 
         @pl.when(step == 0)
@@ -119,9 +122,10 @@ def _make_kernel(loss: str, loss_threshold: float, ni: int, n_blocks: int):
         sw = jnp.sqrt(jnp.maximum(drho(s / a2), 1e-12))
         scale = isd * sw
 
-        out_obs_ref[0] = e0 * sw
-        out_obs_ref[1] = e1 * sw
-        out_obs_ref[26] = cost
+        if emit_obs:
+            out_obs_ref[0] = e0 * sw
+            out_obs_ref[1] = e1 * sw
+            out_obs_ref[26] = cost
 
         J0 = []
         J1 = []
@@ -131,8 +135,9 @@ def _make_kernel(loss: str, loss_threshold: float, ni: int, n_blocks: int):
         for jdir in range(12):
             d0 = J0raw[jdir] * scale
             d1 = J1raw[jdir] * scale
-            out_obs_ref[2 + jdir] = d0
-            out_obs_ref[14 + jdir] = d1
+            if emit_obs:
+                out_obs_ref[2 + jdir] = d0
+                out_obs_ref[14 + jdir] = d1
             # Optimization masks for the assembly-side copies.
             if jdir < 6:
                 d0 = d0 * opt_i
@@ -269,6 +274,141 @@ def _make_kernel(loss: str, loss_threshold: float, ni: int, n_blocks: int):
     return kernel
 
 
+def _make_backsub_kernel(loss: str, loss_threshold: float):
+    from opensfm_tpu.ba.lm import LOSSES
+
+    _, drho = LOSSES[loss]
+    a2 = loss_threshold * loss_threshold
+
+    def kernel(u_ref, v_ref, isd_ref, x0_ref, x1_ref, x2_ref,
+               inst_ref, cam_ref, pt_ref, dxi_ref, dxc_ref, out_ref):
+        one_row = inst_ref[0:1, :] * 0.0 + 1.0
+        x0 = jnp.broadcast_to(x0_ref[:], u_ref.shape)
+        x1 = jnp.broadcast_to(x1_ref[:], u_ref.shape)
+        x2 = jnp.broadcast_to(x2_ref[:], u_ref.shape)
+        vals = (
+            inst_ref[0:1, :], inst_ref[1:2, :], inst_ref[2:3, :],
+            inst_ref[3:4, :], inst_ref[4:5, :], inst_ref[5:6, :],
+            cam_ref[0, 0] * one_row, cam_ref[0, 1] * one_row,
+            cam_ref[0, 2] * one_row,
+            x0, x1, x2,
+        )
+        (p0, p1), J0raw, J1raw = chain_fwd_jac(vals)
+        isd = isd_ref[:]
+        e0 = (p0 - u_ref[:]) * isd
+        e1 = (p1 - v_ref[:]) * isd
+        s = e0 * e0 + e1 * e1
+        sw = jnp.sqrt(jnp.maximum(drho(s / a2), 1e-12))
+        scale = isd * sw
+
+        # tmp = J_obs . dx (pose + camera directions), both residual rows.
+        tmp0 = jnp.zeros_like(e0)
+        tmp1 = jnp.zeros_like(e1)
+        for x in range(6):
+            dxi_row = dxi_ref[x:x + 1, :]        # [1, NI]
+            tmp0 = tmp0 + J0raw[x] * scale * dxi_row
+            tmp1 = tmp1 + J1raw[x] * scale * dxi_row
+        for y in range(3):
+            dxc_y = dxc_ref[0, y]
+            tmp0 = tmp0 + J0raw[6 + y] * scale * dxc_y
+            tmp1 = tmp1 + J1raw[6 + y] * scale * dxc_y
+
+        # u_j = sum_slots Jp_j . tmp  (lane reduction)
+        uvec = []
+        for j in range(3):
+            uvec.append(jnp.sum(
+                J0raw[9 + j] * scale * tmp0 + J1raw[9 + j] * scale * tmp1,
+                axis=1, keepdims=True,
+            ))  # [PB, 1]
+        # dx_p = Hpp_inv (bp - u) from the assembly pass's per-point rows.
+        hi = [pt_ref[:, j:j + 1] for j in range(6)]
+        bp = [pt_ref[:, 6 + j:7 + j] for j in range(3)]
+        hinv = {
+            (0, 0): hi[0], (0, 1): hi[1], (0, 2): hi[2],
+            (1, 0): hi[1], (1, 1): hi[3], (1, 2): hi[4],
+            (2, 0): hi[2], (2, 1): hi[4], (2, 2): hi[5],
+        }
+        out_ref[:] = jnp.zeros_like(out_ref)
+        for j in range(3):
+            out_ref[:, j:j + 1] = sum(
+                hinv[(j, k)] * (bp[k] - uvec[k]) for k in range(3)
+            )
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("loss", "loss_threshold", "ni",
+                                   "interpret"))
+def fused_back_substitute(
+    inst, cam, points, obs_uv, obs_inv_sd, out_pt, dx_i, dx_cam,
+    loss: str, loss_threshold: float, ni: int, interpret: bool = False,
+):
+    """Point back-substitution by RECOMPUTING the Jacobian chain.
+
+    The alternative — keeping the kernel's [32, NP, NI] observation rows
+    in HBM for `_back_substitute` — costs a ~1.07 GB write plus a ~0.8 GB
+    read per LM step at the 256-cam lane, which is ~40% of the whole step
+    on a ~61 TF/s-measured chip.  The chain is ~300 VPU flops per
+    observation slot: recomputing it from the 100 MB of raw inputs is far
+    below the bandwidth cost of materializing it.
+
+    dx_i is [NI, 6] (the solved pose update), dx_cam [1, >=3]; out_pt is
+    the assembly kernel's per-point output (Hpp_inv, bp).  Returns
+    dx_p [NP, 3]."""
+    NP = points.shape[0]
+    assert NP % PB == 0, NP
+    n_blocks = NP // PB
+    dtype = jnp.float32
+
+    u = obs_uv[:, 0].reshape(NP, ni).astype(dtype)
+    v = obs_uv[:, 1].reshape(NP, ni).astype(dtype)
+    isd = obs_inv_sd.reshape(NP, ni).astype(dtype)
+    inst_t = jnp.concatenate(
+        [inst[:, :6].T.astype(dtype), jnp.zeros((2, ni), dtype)], axis=0
+    )
+    cam_row = jnp.concatenate(
+        [cam[0, :3].astype(dtype), jnp.zeros((5,), dtype)]
+    )[None]
+    dxi_t = jnp.concatenate(
+        [dx_i[:, :6].T.astype(dtype), jnp.zeros((2, ni), dtype)], axis=0
+    )  # [8, NI]
+    dxc_row = jnp.concatenate(
+        [dx_cam[0, :3].astype(dtype), jnp.zeros((5,), dtype)]
+    )[None]
+
+    obs_spec = pl.BlockSpec((PB, ni), lambda i: (i, _Z),
+                            memory_space=pltpu.VMEM)
+    pt_spec = pl.BlockSpec((PB, 1), lambda i: (i, _Z),
+                           memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _make_backsub_kernel(loss, float(loss_threshold)),
+        grid=(n_blocks,),
+        in_specs=[
+            obs_spec, obs_spec, obs_spec,
+            pt_spec, pt_spec, pt_spec,
+            pl.BlockSpec((8, ni), lambda i: (_Z, _Z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8), lambda i: (_Z, _Z),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((PB, N_OUT_PT), lambda i: (i, _Z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, ni), lambda i: (_Z, _Z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8), lambda i: (_Z, _Z),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((PB, 128), lambda i: (i, _Z),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NP, 128), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(u, v, isd, points[:, 0:1].astype(dtype), points[:, 1:2].astype(dtype),
+      points[:, 2:3].astype(dtype), inst_t, cam_row, out_pt, dxi_t, dxc_row)
+    return out[:, :3]
+
+
 def _make_cost_kernel_dense(loss: str, loss_threshold: float,
                             n_blocks: int):
     from opensfm_tpu.ba.lm import LOSSES
@@ -370,17 +510,25 @@ def fused_cost_dense(
 
 @partial(
     jax.jit,
-    static_argnames=("loss", "loss_threshold", "ni", "interpret"),
+    static_argnames=("loss", "loss_threshold", "ni", "interpret",
+                     "emit_obs_rows"),
 )
 def fused_schur_assembly(
     inst, cam, points, obs_uv, obs_inv_sd, opt_inst, opt_cam, opt_points,
     point_prior, point_prior_inv_sd, lam,
     loss: str, loss_threshold: float, ni: int, interpret: bool = False,
+    emit_obs_rows: bool = True,
 ):
     """Run the fused assembly. Shapes: inst [NI,6], cam [1,>=3],
     points [NP,3], obs_uv [NP*NI,2], obs_inv_sd [NP*NI] in the dense
     instance-slot layout. Returns (out_obs [32, NP*NI], out_pt [NP, 16],
-    sII_schur [ni6, ni6] in (x,a) row ordering, aux [96, NI])."""
+    sII_schur [ni6, ni6] in (x,a) row ordering, aux [96, NI]).
+
+    `emit_obs_rows=False` skips the [32, NP, NI] observation-row output
+    entirely (out_obs returned as None) — the back-substitution consumer
+    recomputes the chain instead (`fused_back_substitute`), trading ~300
+    VPU flops/slot for ~1.9 GB of HBM round-trip per LM step at the
+    256-camera lane."""
     NP = points.shape[0]
     assert NP % PB == 0, NP
     n_blocks = NP // PB
@@ -415,8 +563,16 @@ def fused_schur_assembly(
     cam_spec = pl.BlockSpec((1, 8), lambda i: (_Z, _Z),
                             memory_space=pltpu.SMEM)
 
+    obs_out_specs = [
+        pl.BlockSpec((N_OUT_OBS, PB, ni), lambda i: (_Z, i, _Z),
+                     memory_space=pltpu.VMEM),
+    ] if emit_obs_rows else []
+    obs_out_shapes = [
+        jax.ShapeDtypeStruct((N_OUT_OBS, NP, ni), dtype),
+    ] if emit_obs_rows else []
     out = pl.pallas_call(
-        _make_kernel(loss, float(loss_threshold), ni, n_blocks),
+        _make_kernel(loss, float(loss_threshold), ni, n_blocks,
+                     emit_obs=emit_obs_rows),
         grid=(n_blocks,),
         in_specs=[
             obs_spec, obs_spec, obs_spec,        # u, v, isd
@@ -425,9 +581,7 @@ def fused_schur_assembly(
             pt_spec, pt_spec, pt_spec, pt_spec,  # optp, ppr0..2
             pt_spec, pt_spec, pt_spec,           # ppw0..2
         ],
-        out_specs=[
-            pl.BlockSpec((N_OUT_OBS, PB, ni), lambda i: (_Z, i, _Z),
-                         memory_space=pltpu.VMEM),
+        out_specs=obs_out_specs + [
             pl.BlockSpec((PB, N_OUT_PT), lambda i: (i, _Z),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ni6, ni6), lambda i: (_Z, _Z),
@@ -435,8 +589,7 @@ def fused_schur_assembly(
             pl.BlockSpec((96, ni), lambda i: (_Z, _Z),
                          memory_space=pltpu.VMEM),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((N_OUT_OBS, NP, ni), dtype),
+        out_shape=obs_out_shapes + [
             jax.ShapeDtypeStruct((NP, N_OUT_PT), dtype),
             jax.ShapeDtypeStruct((ni6, ni6), dtype),
             jax.ShapeDtypeStruct((96, ni), dtype),
@@ -459,4 +612,6 @@ def fused_schur_assembly(
     )(u, v, isd, xr[0], xr[1], xr[2], inst_t, cam_row,
       optp, ppr[:, 0:1], ppr[:, 1:2], ppr[:, 2:3],
       ppw[:, 0:1], ppw[:, 1:2], ppw[:, 2:3])
+    if not emit_obs_rows:
+        return (None,) + tuple(out)
     return out

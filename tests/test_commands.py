@@ -181,9 +181,10 @@ def test_berlin_ate_vs_reference_output(berlin_dataset):
     T, _ = multiview.fit_similarity_transform(ours_o, ref_o)
     aligned = ours_o @ T[:3, :3].T + T[:3, 3]
     ate = float(np.sqrt(np.mean(np.sum((aligned - ref_o) ** 2, axis=1))))
-    # Scene scale: the three shots span ~10 m; sub-half-meter agreement
-    # with the reference's own output.
-    assert ate < 0.5, f"berlin ATE vs reference output: {ate:.3f} m"
+    # Measured 0.0358 m (round 3, docs/RESULTS.md) on the ~10 m scene;
+    # bound at ~3x that to absorb platform noise while still catching any
+    # real regression (the round-2 bound of 0.5 m was 14x the actual).
+    assert ate < 0.10, f"berlin ATE vs reference output: {ate:.3f} m"
 
     # Record for docs/RESULTS.md.
     print(f"berlin ATE vs reference example: {ate:.4f} m")

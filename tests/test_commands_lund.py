@@ -116,4 +116,5 @@ def test_lund_pipeline_with_vlad_prefilter(lund_dataset):
         aligned = ours @ T[:3, :3].T + T[:3, 3]
         ate = float(np.sqrt(np.mean(np.sum((aligned - gold) ** 2, axis=1))))
         print(f"lund self-golden ATE: {ate:.4f} m")
-        assert ate < 0.30, f"lund drifted {ate:.3f} m from the golden"
+        # Measured rerun scatter 0.052 m (round 3); ~3x bound.
+        assert ate < 0.15, f"lund drifted {ate:.3f} m from the golden"

@@ -19,6 +19,18 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Mirror the CI environment exactly (tests/conftest.py): CPU backend with
+# x64 — the golden must be the same numerics CI reproduces.  (A first cut
+# accidentally ran on the tunneled TPU in f32 and chained only 24/29
+# shots.)
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
