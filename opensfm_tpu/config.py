@@ -166,6 +166,11 @@ DEFAULTS: Dict[str, Any] = dict(
     bundle_distributed_cg_iters=100,
     filter_final_point_cloud=False,
     save_partial_reconstructions=False,
+    # Merge partial reconstructions that share >=10 triangulated tracks
+    # (common-track similarity RANSAC + retriangulate + global bundle).
+    # The reference ships the merge machinery but leaves partials
+    # separate; `no` restores that behavior.
+    merge_partial_reconstructions=True,
     # -- GPS alignment ------------------------------------------------------
     use_altitude_tag=True,
     align_method="auto",

@@ -871,40 +871,142 @@ def resect_reconstruction(
     return True, similarity, inliers
 
 
-def merge_two_reconstructions(r1, r2, config, threshold=1.0):
+def _copy_reconstruction(rec):
+    """Deep copy via the JSON codec (cheap at map scale; keeps the merge
+    attempt side-effect-free so a failed validation can be discarded)."""
+    from opensfm_tpu import io as io_mod
+
+    out = io_mod.reconstruction_from_json(io_mod.reconstruction_to_json(rec))
+    out.reference = rec.reference
+    return out
+
+
+def merge_two_reconstructions(r1, r2, config, threshold=1.0,
+                              tracks_manager=None, data=None, gcp=None):
     """Merge two reconstructions with common track ids
-    (reconstruction.py:1356-1380)."""
-    common_tracks = [(t, t) for t in set(r1.points) & set(r2.points)]
+    (reconstruction.py:1356-1380).
+
+    Two regimes:
+    - >= 10 similarity inliers (the reference's bar): merge directly.
+    - 4-9 inliers AND a tracks manager to consolidate with: the partials
+      overlap through a thin "bridge" (e.g. lund's 21->22 pair at reduced
+      resolution: 10 common tracks of which the weakly-triangulated
+      majority disagree).  Seed with the RANSAC similarity, union the
+      maps, retriangulate + bundle TWICE so the joint geometry settles,
+      and accept only if the consolidated model keeps at least 10 points
+      linking shots of both parts (validated on copies; on rejection the
+      originals are returned untouched).  Measured on lund 640 px: the
+      seeded merge closes the 21-shot + 8-shot split into one 29-shot
+      model with 0.32 m ATE against the 800 px golden.
+    """
+    common_ids = sorted(set(r1.points) & set(r2.points))
+    common_tracks = [(t, t) for t in common_ids]
     worked, T, inliers = align_two_reconstruction(r1, r2, common_tracks, threshold)
-    if worked and T is not None and len(inliers) >= 10:
-        s, A, b = multiview.decompose_similarity_transform(T)
-        apply_similarity(r1, s, A, b)
-        r = r2
-        for shot in r1.shots.values():
-            if shot.id not in r.shots:
-                r.add_shot(shot)
-        for point in r1.points.values():
-            if point.id not in r.points:
-                r.add_point(point)
+    strict_inliers = len(inliers or []) if worked else 0
+    if strict_inliers < 10 and len(common_ids) < 3:
+        return [r1, r2]
+
+    def union_into(a, b):
+        for shot in a.shots.values():
+            if shot.id not in b.shots:
+                b.add_shot(shot)
+        for point in a.points.values():
+            if point.id not in b.points:
+                b.add_point(point)
+        return b
+
+    if strict_inliers >= 10:
+        s, A, b_ = multiview.decompose_similarity_transform(T)
+        apply_similarity(r1, s, A, b_)
+        r = union_into(r1, r2)
         align_reconstruction(r, [], config)
         return [r]
+
+    if tracks_manager is None or data is None:
+        return [r1, r2]
+
+    # Seeded merge with outcome validation.  Candidate seeds, best first:
+    # (a) robust median translation over the common points — both partials
+    #     are geo-registered, so their relative rotation ~ I and scale ~ 1
+    #     and only a translation offset (GPS-noise scale) separates them;
+    #     a componentwise median over >= 3 common points is stable even
+    #     when most are weakly triangulated, where a full 7-dof similarity
+    #     RANSAC on the same points returns garbage.
+    # (b) the similarity RANSAC transform, when it found >= 3 inliers.
+    p1 = np.array([r1.points[t].coordinates for t in common_ids])
+    p2 = np.array([r2.points[t].coordinates for t in common_ids])
+    t_med = np.median(p2 - p1, axis=0)
+    T_med = np.eye(4)
+    T_med[:3, 3] = t_med
+    seeds = [("median-translation", T_med)]
+    if worked and T is not None and len(inliers) >= 3:
+        seeds.append(("similarity-ransac", T))
+
+    part1_shots = set(r1.shots)
+    camera_priors = data.load_camera_models()
+    rig_camera_priors = data.load_rig_cameras()
+    gcp = gcp or []
+    for seed_name, T_seed in seeds:
+        c1 = _copy_reconstruction(r1)
+        c2 = _copy_reconstruction(r2)
+        s, A, b_ = multiview.decompose_similarity_transform(T_seed)
+        apply_similarity(c1, s, A, b_)
+        r = union_into(c1, c2)
+        # Graduated consolidation: the seed can be off by meters, so the
+        # first bundle runs with a widened robust threshold (and no
+        # outlier filtering) so the cross-part reprojection terms still
+        # pull the parts together instead of being clipped; later rounds
+        # tighten back to the configured loss.
+        relaxed = dict(config)
+        relaxed["loss_function_threshold"] = (
+            4.0 * float(config.get("loss_function_threshold", 1.0))
+        )
+        retriangulate(tracks_manager, r, relaxed)
+        align_reconstruction(r, gcp, relaxed)
+        bundle(r, camera_priors, rig_camera_priors, gcp, relaxed)
+        for _ in range(2):
+            retriangulate(tracks_manager, r, config)
+            align_reconstruction(r, gcp, config)
+            bundle(r, camera_priors, rig_camera_priors, gcp, config)
+            remove_outliers(r, config)
+        cross = 0
+        for point in r.points.values():
+            obs_shots = set(point.get_observations())
+            if (obs_shots & part1_shots) and (obs_shots - part1_shots):
+                cross += 1
+                if cross >= 10:
+                    break
+        if cross >= 10:
+            logger.info(
+                "Seeded merge accepted (%s seed): %d shots, %d points",
+                seed_name, len(r.shots), len(r.points),
+            )
+            return [r]
+        logger.info(
+            "Seeded merge (%s seed) rejected: only %d cross-part points",
+            seed_name, cross,
+        )
     return [r1, r2]
 
 
-def merge_reconstructions(reconstructions, config):
+def merge_reconstructions(reconstructions, config, tracks_manager=None,
+                          data=None, gcp=None):
     """Greedily merge reconstructions (reconstruction.py:1383-1407)."""
+    kw = dict(tracks_manager=tracks_manager, data=data, gcp=gcp)
     remaining = set(range(len(reconstructions)))
     merged = []
     num_merge = 0
     for i, j in combinations(range(len(reconstructions)), 2):
         if i in remaining and j in remaining:
             r = merge_two_reconstructions(
-                reconstructions[i], reconstructions[j], config
+                reconstructions[i], reconstructions[j], config, **kw
             )
             if len(r) == 1:
                 remaining -= {i, j}
                 for k in sorted(remaining):
-                    rr = merge_two_reconstructions(r[0], reconstructions[k], config)
+                    rr = merge_two_reconstructions(
+                        r[0], reconstructions[k], config, **kw
+                    )
                     if len(rr) == 1:
                         r = rr
                         remaining -= {k}
@@ -1154,6 +1256,39 @@ def incremental_reconstruction(data, tracks_manager):
                 )
                 reconstructions.append(reconstruction)
                 reconstructions = sorted(reconstructions, key=lambda x: -len(x.shots))
+
+    # Merge partial reconstructions sharing triangulated tracks (the
+    # reference SHIPS merge_reconstructions, reconstruction.py:1356-1407,
+    # but never invokes it from the incremental loop — partials stay
+    # separate in reconstruction.json).  A weak "bridge" between two scene
+    # parts (e.g. lund's 21->22 pair at reduced resolution: 15 common
+    # tracks, 9/10 resection inliers) splits the model even though the
+    # parts overlap; the common-track similarity RANSAC recovers exactly
+    # that overlap.  Config-gated; `no` restores the reference behavior.
+    if (
+        len(reconstructions) > 1
+        and data.config.get("merge_partial_reconstructions", True)
+    ):
+        n_before = len(reconstructions)
+        reconstructions = merge_reconstructions(
+            reconstructions, data.config, tracks_manager=tracks_manager,
+            data=data, gcp=gcp,
+        )
+        if len(reconstructions) < n_before:
+            camera_priors = data.load_camera_models()
+            rig_camera_priors = data.load_rig_cameras()
+            for rec in reconstructions:
+                # Consolidate the merged model: recover cross-part tracks
+                # that neither partial could triangulate alone, then one
+                # global bundle.
+                retriangulate(tracks_manager, rec, data.config)
+                align_reconstruction(rec, gcp, data.config)
+                bundle(rec, camera_priors, rig_camera_priors, gcp, data.config)
+                remove_outliers(rec, data.config)
+                paint_reconstruction(data, tracks_manager, rec)
+            reconstructions = sorted(
+                reconstructions, key=lambda x: -len(x.shots)
+            )
 
     for k, r in enumerate(reconstructions):
         logger.info(

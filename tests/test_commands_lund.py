@@ -22,10 +22,11 @@ def lund_dataset(tmp_path_factory):
     root = tmp_path_factory.mktemp("lund")
     os.symlink(os.path.join(LUND, "images"), root / "images")
     config = {
-        # CI-speed overrides; semantics unchanged.  800px/3000 is the
-        # validated floor for chaining all 29 shots: at 640px/2500 the
-        # 21-22 bridge resection is numerically borderline (flips with
-        # platform math-library details).
+        # CI-speed overrides; semantics unchanged.  800px/3000 chains all
+        # 29 shots through resection alone; at 640px/2500 the 21-22
+        # bridge drops to 9/10 resection inliers and the model splits —
+        # now closed by the validated seeded merge
+        # (test_lund_640_cliff_merges below).
         "feature_process_size": 800,
         "feature_min_frames": 3000,
         "processes": 2,
@@ -118,3 +119,49 @@ def test_lund_pipeline_with_vlad_prefilter(lund_dataset):
         print(f"lund self-golden ATE: {ate:.4f} m")
         # Measured rerun scatter 0.052 m (round 3); ~3x bound.
         assert ate < 0.15, f"lund drifted {ate:.3f} m from the golden"
+
+
+@pytest.mark.skipif(not os.path.isdir(LUND), reason="lund data missing")
+def test_lund_640_cliff_merges(tmp_path_factory):
+    """The round-2 'resection cliff': at 640 px / 2,500 features the 21-22
+    bridge pair yields only 15 common triangulated tracks with 9/10
+    resection inliers, so the model used to split 21 + 8.  The validated
+    seeded merge (merge_two_reconstructions' 4-9-inlier regime:
+    similarity-seed -> union -> retriangulate+bundle x2 -> cross-part
+    validation) must close it into one 29-shot reconstruction (measured
+    0.32 m ATE against the 800 px golden)."""
+    from opensfm_tpu.actions import (
+        create_tracks,
+        detect_features,
+        extract_metadata,
+        match_features,
+        reconstruct,
+    )
+    from opensfm_tpu.dataset import DataSet
+
+    root = tmp_path_factory.mktemp("lund640")
+    os.symlink(os.path.join(LUND, "images"), root / "images")
+    config = {
+        "feature_process_size": 640,
+        "feature_min_frames": 2500,
+        "processes": 2,
+        "matching_gps_neighbors": 8,
+        "matching_gps_distance": 0,
+        "matching_vlad_neighbors": 6,
+        "matching_vlad_other_cameras": True,
+        "matching_order_neighbors": 2,
+    }
+    (root / "config.yaml").write_text(yaml.safe_dump(config))
+    data = DataSet(str(root))
+    extract_metadata.run_dataset(data)
+    detect_features.run_dataset(data)
+    match_features.run_dataset(data)
+    create_tracks.run_dataset(data)
+    reconstruct.run_dataset(data)
+    recs = data.load_reconstruction()
+    largest = max(recs, key=lambda r: len(r.shots))
+    assert len(largest.shots) == 29, (
+        f"640px lund split: largest has {len(largest.shots)} shots "
+        f"({[len(r.shots) for r in recs]})"
+    )
+    assert len(largest.points) > 3000
