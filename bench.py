@@ -315,6 +315,24 @@ def main() -> None:
     except Exception as e:  # pragma: no cover
         print(f"scaling bench failed: {e}", file=sys.stderr)
 
+    try:
+        # End-to-end wall-clock lane: berlin, seconds per pipeline stage
+        # (CPU backend subprocess so the TPU process keeps its platform).
+        import os
+        import subprocess
+
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "bench_e2e.py")],
+            capture_output=True, text=True, timeout=1200, env=env,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        extra["e2e_berlin_stage_seconds"] = json.loads(line)
+    except Exception as e:  # pragma: no cover
+        print(f"e2e bench failed: {e}", file=sys.stderr)
+
     ceres_cpu_estimate = 1.0  # LM iter/s, Ceres SPARSE_SCHUR, workstation CPU
     print(
         json.dumps(

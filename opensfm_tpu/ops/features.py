@@ -489,7 +489,14 @@ def extract_dog_features(
 
     n_octaves = max(int(np.log2(min(H, W) / 32)), 1)
     n_octaves = min(n_octaves, 6)
-    k_per_octave = int(target_features * 3 // (n_octaves * max(n_orientations, 1)))
+    # Spatial candidate slots are NOT divided by n_orientations: the
+    # reference treats the feature budget as a MINIMUM (the anneal loop
+    # stops once count >= budget) and VLFeat's orientation duplication
+    # comes on top of the detected frames, not out of their budget.
+    # Halving spatial slots for dual orientations cost ~7-9 points of
+    # coverage of the reference's tracked keypoints at production
+    # settings (docs/RESULTS.md round-3 detector-parity table).
+    k_per_octave = int(target_features * 3 // n_octaves)
 
     pts, desc, valid = detect_and_describe(
         jnp.asarray(padded), float(peak_threshold), k_per_octave, n_octaves,
