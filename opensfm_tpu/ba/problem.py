@@ -540,9 +540,11 @@ def _solve_full_bundle(problem, config: Dict[str, Any], n_shots: int):
     `bundle_distributed: auto` uses the mesh-sharded solver once the map
     exceeds `bundle_distributed_min_shots` and >1 device is visible;
     `yes` forces it whenever the problem is CG-compatible; `no` (or an
-    incompatible problem — rigs, mixed camera types, up-vector rows)
-    falls back.  This is the user-reachable scale path replacing the
-    reference's submodel split/merge (large/tools.py:278-328)."""
+    incompatible problem — mixed projection types or pose-graph
+    constraint families; rigs, up-vector rows and depth priors are all
+    in-path since round 4) falls back.  This is the user-reachable scale
+    path replacing the reference's submodel split/merge
+    (large/tools.py:278-328)."""
     max_iterations = int(config["bundle_max_iterations"])
     mode = str(config.get("bundle_distributed", "auto")).lower()
     if mode in ("yes", "true", "1", "auto"):

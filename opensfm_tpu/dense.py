@@ -460,7 +460,21 @@ def prune_depthmap(udata, reconstruction, neighbors, shot_id) -> None:
     except IOError:
         colors = np.full((len(points), 3), 128)
 
+    # Semantic labels ride into the pruned cloud and the merged PLY
+    # (reference dense.py:344-352 load_segmentation_labels + :356-374
+    # add_views_to_depth_pruner; zeros when no segmentation exists).
     labels = np.zeros(len(points))
+    if udata.undistorted_segmentation_exists(shot_id):
+        seg = udata.load_undistorted_segmentation(shot_id)
+        if seg is not None:
+            import cv2
+
+            seg = cv2.resize(
+                np.asarray(seg), (W, H), interpolation=cv2.INTER_NEAREST
+            )
+            labels = seg[py_int(px[:, 1]), py_int(px[:, 0])].astype(
+                np.float64
+            )
     udata.save_pruned_depthmap(shot_id, points, normals, colors, labels)
 
 

@@ -101,9 +101,17 @@ def save_matches(data, images_ref: List[str], matched_pairs) -> None:
 # ---------------------------------------------------------------------------
 
 
-def _load_pair_descriptors(data, im1: str, im2: str):
-    fd1 = feature_loader.instance.load_features_index(data, im1, masked=True)
-    fd2 = feature_loader.instance.load_features_index(data, im2, masked=True)
+def _load_pair_descriptors(data, im1: str, im2: str, config=None):
+    # matching_use_segmentation appends the weighted segmentation-label
+    # column to both descriptor matrices (feature_loading.py:16-24,111 in
+    # the reference), so cross-class candidates lose every top-2 ranking.
+    seg = bool(config.get("matching_use_segmentation", False)) if config else False
+    fd1 = feature_loader.instance.load_features_index(
+        data, im1, masked=True, segmentation_in_descriptor=seg
+    )
+    fd2 = feature_loader.instance.load_features_index(
+        data, im2, masked=True, segmentation_in_descriptor=seg
+    )
     if fd1 is None or fd2 is None:
         return None
     features1, d1 = fd1
@@ -120,7 +128,7 @@ def _match_descriptors_impl(
     (matching.py:341-460)."""
     dummy = np.zeros((0, 2))
     matcher_type = str(config.get("matcher_type", "FLANN")).upper()
-    loaded = _load_pair_descriptors(data, im1, im2)
+    loaded = _load_pair_descriptors(data, im1, im2, config)
     if loaded is None:
         return dummy, dummy, np.zeros((0, 2), dtype=int), matcher_type
     features1, d1, features2, d2 = loaded
@@ -161,7 +169,7 @@ def _match_descriptors_guided_impl(
     from the pair's relative pose (matching.py:260-338)."""
     dummy = np.zeros((0, 2))
     matcher_type = "BRUTEFORCE"
-    loaded = _load_pair_descriptors(data, im1, im2)
+    loaded = _load_pair_descriptors(data, im1, im2, config)
     if loaded is None:
         return dummy, dummy, np.zeros((0, 2), dtype=int), matcher_type
     features1, d1, features2, d2 = loaded

@@ -99,6 +99,16 @@ def shard_problem(problem: BAProblem, n_shards: int) -> BAProblem:
     obs_cam[new_pos] = np.asarray(problem.obs_cam)[o_idx]
     point_obs[pts, slot_in_point] = new_pos
 
+    # Per-observation depth priors ride the same re-layout (pad rows get
+    # inv_sd == 0, which disables them).
+    def relayout_obs(arr, fill=0.0, dtype=np.float64):
+        if arr is None:
+            return None
+        arr = np.asarray(arr)
+        out = np.full((O_new,) + arr.shape[1:], fill, dtype=arr.dtype)
+        out[new_pos] = arr[o_idx]
+        return out
+
     def pad_points(arr, fill=0.0):
         out = np.full((np_pad,) + arr.shape[1:], fill, dtype=arr.dtype)
         out[: len(arr)] = arr
@@ -127,6 +137,16 @@ def shard_problem(problem: BAProblem, n_shards: int) -> BAProblem:
         ptype=problem.ptype if isinstance(problem.ptype, str)
         else problem.ptype[0][0],
         loss=problem.loss, loss_threshold=problem.loss_threshold,
+        obs_depth=relayout_obs(problem.obs_depth),
+        obs_depth_inv_sd=relayout_obs(problem.obs_depth_inv_sd),
+        obs_depth_radial=relayout_obs(problem.obs_depth_radial, False),
+        # Shot-level rows (up-vector / pan-tilt-roll) reference instances,
+        # which the point re-layout leaves untouched: pass through.
+        up_inst=problem.up_inst, up_rigcam=problem.up_rigcam,
+        up_vec=problem.up_vec, up_inv_sd=problem.up_inv_sd,
+        ang_kind=problem.ang_kind, ang_inst=problem.ang_inst,
+        ang_rigcam=problem.ang_rigcam, ang_value=problem.ang_value,
+        ang_inv_sd=problem.ang_inv_sd,
     )
 
 
@@ -500,6 +520,72 @@ def _point_prior_terms(points, point_prior, point_prior_inv_sd,
     return H_diag, rhs
 
 
+# Arrays sharded over the point axis (everything else replicates).
+_CG_SHARDED = frozenset((
+    "points", "obs_uv", "obs_inv_sd", "obs_point", "obs_inst", "obs_rigcam",
+    "obs_cam", "obs_depth", "obs_depth_inv_sd", "obs_depth_radial",
+    "point_prior", "point_prior_inv_sd", "point_prior_loss", "opt_points",
+    "point_base",
+))
+
+
+def _cg_step_names(rig_mode: str, with_depth: bool, has_up: bool,
+                   has_ang: bool):
+    """Canonical argument order for the CG step.  With every feature off
+    this reduces to the original 21-argument mono signature, so existing
+    callers keep working."""
+    names = ["inst"]
+    if rig_mode != "none":
+        names.append("rigcam")
+    names += ["cam", "points", "obs_uv", "obs_inv_sd", "obs_point",
+              "obs_inst"]
+    if rig_mode != "none":
+        names.append("obs_rigcam")
+    names.append("obs_cam")
+    if with_depth:
+        names += ["obs_depth", "obs_depth_inv_sd", "obs_depth_radial"]
+    names += ["gps_pos", "gps_inv_sd", "cam_prior", "cam_prior_inv_sd",
+              "cam_log_mask"]
+    if rig_mode == "opt":
+        names += ["rigcam_prior", "rigcam_prior_inv_sd"]
+    names += ["point_prior", "point_prior_inv_sd", "point_prior_loss"]
+    if has_up:
+        names += ["up_inst", "up_rigcam", "up_vec", "up_inv_sd"]
+    if has_ang:
+        names += ["ang_kind", "ang_inst", "ang_rigcam", "ang_value",
+                  "ang_inv_sd"]
+    names.append("opt_inst")
+    if rig_mode == "opt":
+        names.append("opt_rigcam")
+    names += ["opt_cam", "opt_points", "lam", "point_base"]
+    return tuple(names)
+
+
+def _cg_cost_names(rig_mode: str, with_depth: bool, has_up: bool,
+                   has_ang: bool):
+    drop = {"opt_inst", "opt_rigcam", "opt_cam", "opt_points", "lam"}
+    return tuple(
+        n for n in _cg_step_names(rig_mode, with_depth, has_up, has_ang)
+        if n not in drop
+    )
+
+
+def _shot_row_data(a):
+    return {
+        k: a[k] for k in (
+            "up_inst", "up_rigcam", "up_vec", "up_inv_sd", "ang_kind",
+            "ang_inst", "ang_rigcam", "ang_value", "ang_inv_sd",
+        ) if k in a
+    }
+
+
+def _acc_dtype(dtype):
+    """f64 accumulation island when x64 is on (summing millions of f32
+    residual costs / CG dot terms loses ~sqrt(N)*eps otherwise); plain
+    dtype when x64 is off (the TPU bench default)."""
+    return jnp.float64 if jax.config.jax_enable_x64 else dtype
+
+
 @lru_cache(maxsize=64)
 def make_sharded_cg_lm_step(
     mesh: Mesh,
@@ -512,43 +598,86 @@ def make_sharded_cg_lm_step(
     loss_threshold: float = 1.0,
     cg_iters: int = 100,
     cg_tol: float = 1e-8,
+    nr: int = 1,
+    rig_mode: str = "none",
+    with_depth: bool = False,
+    has_up: bool = False,
+    has_ang: bool = False,
 ):
     """Build a jitted camera-block-sparse LM step.  Memoized so the growth
     loop's repeated global bundles reuse one compiled program per shape
     bucket instead of retracing a fresh closure each call.
 
-    step(inst, cam, points, obs_uv, obs_inv_sd, obs_point, obs_inst,
-         obs_cam, gps_pos, gps_inv_sd, cam_prior, cam_prior_inv_sd,
-         cam_log_mask, point_prior, point_prior_inv_sd, point_prior_loss,
-         opt_inst, opt_cam, opt_points, lam, point_base)
-      -> (new_inst, new_cam, new_points)
-
+    step(*args) -> (new_inst, [new_rigcam,] new_cam, new_points) with args
+    ordered by `_cg_step_names(rig_mode, with_depth, has_up, has_ang)`.
     points/obs arrays are sharded over `axis` (obs_point carries GLOBAL
     point indices; point_base the shard's first global index); camera-side
-    arrays are replicated.  Rig cameras are assumed identity/fixed (the
-    mono fast path; the dense-replicated step covers rigs).  Camera
-    parameter priors (log-scale focal) and point position priors (GCPs,
-    optional per-point Cauchy) ride along so the full-map `bundle`
-    semantics (ba_helpers.cc:581-763) are preserved.
-    """
+    arrays are replicated.
 
-    def local_step(inst, cam, points, obs_uv, obs_inv_sd, obs_point,
-                   obs_inst, obs_cam, gps_pos, gps_inv_sd,
-                   cam_prior, cam_prior_inv_sd, cam_log_mask,
-                   point_prior, point_prior_inv_sd, point_prior_loss,
-                   opt_inst, opt_cam_mask, opt_points, lam, point_base):
+    Residual families carried (full `bundle` semantics,
+    ba_helpers.cc:581-763): robust reprojection through the rig chain
+    (`rig_mode`: "none" = identity rig cameras, "fixed" = non-identity but
+    locked — composed into the chain like lm._transform_rig, "opt" = rig
+    camera poses are unknowns with their own CG block family + value-space
+    priors), per-observation depth priors (RelativeDepthError rows,
+    `with_depth`), GPS instance priors, camera parameter priors (log-scale
+    focal), point position priors (GCPs, optional per-point Cauchy), and
+    the replicated shot rows: up-vector (`has_up`) and pan/tilt/roll
+    (`has_ang`) with Cauchy(1), via lm._shot_prior_residuals.
+    """
+    step_names = _cg_step_names(rig_mode, with_depth, has_up, has_ang)
+    rig_opt = rig_mode == "opt"
+    K = 3 if with_depth else 2
+
+    def local_step(*args):
+        a = dict(zip(step_names, args))
+        inst, cam, points = a["inst"], a["cam"], a["points"]
+        lam = a["lam"]
         dtype = points.dtype
+        acc = _acc_dtype(dtype)
+        rigcam = a.get("rigcam")
+        if rigcam is None:
+            rigcam = jnp.zeros((1, 6), dtype)
+        obs_inst, obs_cam = a["obs_inst"], a["obs_cam"]
+        obs_rigcam = a.get("obs_rigcam")
+        if obs_rigcam is None:
+            obs_rigcam = jnp.zeros_like(obs_inst)
+        opt_inst = a["opt_inst"]
+        opt_cam_mask = a["opt_cam"]
+        opt_points = a["opt_points"]
+        opt_rigcam = a.get("opt_rigcam")
         np_local = points.shape[0]
-        local_point = obs_point - point_base[0]
+        local_point = a["obs_point"] - a["point_base"][0]
 
         # --- residuals + Jacobians over the local shard -------------------
-        def one(uv, inv_sd, pi, ii, ci):
-            combo = jnp.concatenate([inst[ii], cam[ci]])
+        def one(uv, inv_sd, pi, ii, ri, ci, dval, dinv, drad):
+            if rig_opt:
+                combo = jnp.concatenate([inst[ii], rigcam[ri], cam[ci]])
+            else:
+                combo = jnp.concatenate([inst[ii], cam[ci]])
+            rc6 = rigcam[ri]  # constant under jacfwd unless rig_opt
 
             def res_fn(combo_, X_):
-                Xc = rot.rotate(combo_[0:3], X_) + combo_[3:6]
-                pred = cam_lib.project(ptype, Xc, combo_[6:6 + pmax], xp=jnp)
-                return (pred - uv) * inv_sd
+                Xi = rot.rotate(combo_[0:3], X_) + combo_[3:6]
+                if rig_opt:
+                    Xc = rot.rotate(combo_[6:9], Xi) + combo_[9:12]
+                    cp = combo_[12:12 + pmax]
+                elif rig_mode == "fixed":
+                    Xc = rot.rotate(rc6[:3], Xi) + rc6[3:6]
+                    cp = combo_[6:6 + pmax]
+                else:
+                    Xc = Xi
+                    cp = combo_[6:6 + pmax]
+                pred = cam_lib.project(ptype, Xc, cp, xp=jnp)
+                diff = pred - uv
+                if ptype == "spherical":
+                    diff = diff - jnp.round(diff)
+                out = diff * inv_sd
+                if with_depth:
+                    norm = jnp.sqrt(jnp.sum(Xc * Xc) + 1e-30)
+                    pd = jnp.where(drad, norm, Xc[2])
+                    out = jnp.concatenate([out, ((pd - dval) * dinv)[None]])
+                return out
 
             X = points[pi]
             return (
@@ -557,13 +686,26 @@ def make_sharded_cg_lm_step(
                 jax.jacfwd(res_fn, argnums=1)(combo, X),
             )
 
+        dz = jnp.zeros_like(a["obs_inv_sd"])
         r, Jc_all, Jp = jax.vmap(one)(
-            obs_uv, obs_inv_sd, local_point, obs_inst, obs_cam
+            a["obs_uv"], a["obs_inv_sd"], local_point, obs_inst, obs_rigcam,
+            obs_cam, a.get("obs_depth", dz), a.get("obs_depth_inv_sd", dz),
+            a.get("obs_depth_radial", dz.astype(bool)),
         )
+        # Robust IRLS weights: the projection rows share one weight from
+        # the 2-row squared norm; the depth row carries its own
+        # (RelativeDepthError is a separate Ceres block sharing the
+        # projection loss — lm._residual_data semantics).
         rho, drho = LOSSES[loss]
         a2 = loss_threshold * loss_threshold
-        s = jnp.sum(r * r, axis=-1)
-        sw = jnp.sqrt(jnp.maximum(drho(s / a2), 1e-12))[:, None]
+        s_proj = jnp.sum(r[:, :2] * r[:, :2], axis=-1)
+        w_proj = drho(s_proj / a2)
+        if with_depth:
+            w_dep = drho(r[:, 2] * r[:, 2] / a2)
+            w = jnp.stack([w_proj, w_proj, w_dep], axis=1)
+        else:
+            w = jnp.broadcast_to(w_proj[:, None], r.shape)
+        sw = jnp.sqrt(jnp.maximum(w, 1e-12))
         r = r * sw
         Jc_all = Jc_all * sw[..., None]
         Jp = Jp * sw[..., None]
@@ -572,7 +714,18 @@ def make_sharded_cg_lm_step(
         opt_i6 = opt_inst[:, None].astype(dtype) * jnp.ones((1, 6), dtype)
         opt_cp = opt_cam_mask.astype(dtype)  # [NC, pmax]
         Ji = Jc_all[:, :, 0:6] * opt_i6[obs_inst][:, None, :]
-        Jcam = Jc_all[:, :, 6:6 + pmax] * opt_cp[obs_cam][:, None, :]
+        if rig_opt:
+            opt_r6 = (
+                opt_rigcam[:, None].astype(dtype) * jnp.ones((1, 6), dtype)
+            )
+            Jr = Jc_all[:, :, 6:12] * opt_r6[obs_rigcam][:, None, :]
+            Jcam = (
+                Jc_all[:, :, 12:12 + pmax] * opt_cp[obs_cam][:, None, :]
+            )
+        else:
+            opt_r6 = jnp.zeros((0, 6), dtype)
+            Jr = None
+            Jcam = Jc_all[:, :, 6:6 + pmax] * opt_cp[obs_cam][:, None, :]
         Jp = Jp * opt_points[local_point][:, None, None].astype(dtype)
 
         # --- point system --------------------------------------------------
@@ -586,14 +739,18 @@ def make_sharded_cg_lm_step(
         )
         # Point position priors (GCPs) are shard-local diagonal additions.
         pp_H, pp_rhs = _point_prior_terms(
-            points, point_prior, point_prior_inv_sd, point_prior_loss
+            points, a["point_prior"], a["point_prior_inv_sd"],
+            a["point_prior_loss"],
         )
         Hpp = Hpp + jax.vmap(jnp.diag)(pp_H)
         bp = bp + pp_rhs
         eye3 = jnp.eye(3, dtype=dtype)
+        # Floor scaled to the working precision: 1e-12 is below f32 eps at
+        # the typical Hpp diagonal scale.
+        floor = 1e-12 if dtype == jnp.float64 else 1e-6
         Hpp = Hpp + lam * jax.vmap(jnp.diag)(
             jnp.diagonal(Hpp, axis1=1, axis2=2)
-        ) + 1e-12 * eye3
+        ) + floor * eye3
         Hpp_inv = tpu_linalg.inv3(Hpp) * opt_points[:, None, None].astype(dtype)
 
         n_dev = jax.lax.psum(jnp.ones((), dtype=dtype), axis)
@@ -605,7 +762,9 @@ def make_sharded_cg_lm_step(
 
             return f(inst6), jax.jacfwd(f)(inst6)
 
-        gr, gJ = jax.vmap(gps_one)(inst, gps_pos, gps_inv_sd[:, None])
+        gr, gJ = jax.vmap(gps_one)(
+            inst, a["gps_pos"], a["gps_inv_sd"][:, None]
+        )
         gJ = gJ * opt_i6[:, None, :]
         gps_blocks = jnp.einsum("nki,nkj->nij", gJ, gJ) / n_dev  # [NI,6,6]
         gps_rhs = jnp.einsum("nki,nk->ni", gJ, gr) / n_dev
@@ -618,11 +777,45 @@ def make_sharded_cg_lm_step(
             return f(camP), jax.jacfwd(f)(camP)
 
         cp_r, cp_J = jax.vmap(cprior_one)(
-            cam, cam_prior, cam_prior_inv_sd, cam_log_mask
+            cam, a["cam_prior"], a["cam_prior_inv_sd"], a["cam_log_mask"]
         )
         cp_J = cp_J * opt_cp[:, None, :]
         cprior_blocks = jnp.einsum("nki,nkj->nij", cp_J, cp_J) / n_dev
         cprior_rhs = jnp.einsum("nki,nk->ni", cp_J, cp_r) / n_dev
+
+        # --- rig camera value-space prior rows (DataPriorError) ------------
+        if rig_opt:
+            def rcprior_one(r6, prior, inv):
+                def f(x):
+                    return (x - prior) * inv
+
+                return f(r6), jax.jacfwd(f)(r6)
+
+            rc_r, rc_J = jax.vmap(rcprior_one)(
+                rigcam, a["rigcam_prior"], a["rigcam_prior_inv_sd"]
+            )
+            rc_J = rc_J * opt_r6[:, None, :]
+            rcprior_blocks = jnp.einsum("nki,nkj->nij", rc_J, rc_J) / n_dev
+            rcprior_rhs = jnp.einsum("nki,nk->ni", rc_J, rc_r) / n_dev
+
+        # --- replicated shot rows (up-vector / pan-tilt-roll, Cauchy(1)) ---
+        # Each row couples ONE instance and ONE rig camera, so its exact
+        # Gauss-Newton action factors through per-row [M,6] blocks applied
+        # in the matvec (aggregation per block would drop the inst<->rigcam
+        # cross terms when rig cameras are optimized).
+        shot_rows = []
+        if has_up or has_ang:
+            from opensfm_tpu.ba import lm as _lm
+
+            for r_u, Ji_u, Jr_u, idx_i, idx_r in _lm._shot_prior_residuals(
+                (inst, rigcam), _shot_row_data(a)
+            ):
+                Ji_u = Ji_u * opt_inst[idx_i].astype(dtype)[:, None, None]
+                Jr_m = (
+                    Jr_u * opt_rigcam[idx_r].astype(dtype)[:, None, None]
+                    if rig_opt else None
+                )
+                shot_rows.append((r_u, Ji_u, Jr_m, idx_i, idx_r))
 
         # --- RHS: b = Jc^T r - Gamma Hpp^-1 bp -----------------------------
         Hib = jnp.einsum("pij,pj->pi", Hpp_inv, bp)
@@ -635,11 +828,29 @@ def make_sharded_cg_lm_step(
         b_c = jax.ops.segment_sum(
             jnp.einsum("oki,ok->oi", Jcam, t_rhs), obs_cam, num_segments=nc
         ) + cprior_rhs
+        if rig_opt:
+            b_r = jax.ops.segment_sum(
+                jnp.einsum("oki,ok->oi", Jr, t_rhs), obs_rigcam,
+                num_segments=nr,
+            ) + rcprior_rhs
+        else:
+            b_r = jnp.zeros((0, 6), dtype)
+        for r_u, Ji_u, Jr_m, idx_i, idx_r in shot_rows:
+            b_i = b_i + jax.ops.segment_sum(
+                jnp.einsum("kmi,km->ki", Ji_u, r_u), idx_i, num_segments=ni
+            ) / n_dev
+            if Jr_m is not None:
+                b_r = b_r + jax.ops.segment_sum(
+                    jnp.einsum("kmi,km->ki", Jr_m, r_u), idx_r,
+                    num_segments=nr,
+                ) / n_dev
         b_i = jax.lax.psum(b_i, axis)
         b_c = jax.lax.psum(b_c, axis)
+        if rig_opt:
+            b_r = jax.lax.psum(b_r, axis)
 
         # --- block-Jacobi preconditioner + damping diagonals ---------------
-        G_i = jnp.einsum("oki,okj->oij", Ji, Jp)  # [O,6,3]
+        G_i = jnp.einsum("oki,okj->oij", Ji, Jp)  # [O,K_i=6,3]
         direct_i = jax.ops.segment_sum(
             jnp.einsum("oki,okj->oij", Ji, Ji), obs_inst, num_segments=ni
         )
@@ -647,9 +858,13 @@ def make_sharded_cg_lm_step(
             jnp.einsum("oij,ojk,olk->oil", G_i, Hpp_inv[local_point], G_i),
             obs_inst, num_segments=ni,
         )
-        M_i = jax.lax.psum(direct_i - schur_i, axis) + jax.lax.psum(
-            gps_blocks, axis
-        )
+        extra_i = gps_blocks
+        for r_u, Ji_u, Jr_m, idx_i, idx_r in shot_rows:
+            extra_i = extra_i + jax.ops.segment_sum(
+                jnp.einsum("kmi,kmj->kij", Ji_u, Ji_u), idx_i,
+                num_segments=ni,
+            ) / n_dev
+        M_i = jax.lax.psum(direct_i - schur_i + extra_i, axis)
         # Camera blocks: a camera sees each point through MANY observations
         # (one per shot), so the exact Schur diagonal needs the per-point
         # aggregate W_cp = sum_{o in p} G_o before the quadratic form — a
@@ -668,6 +883,28 @@ def make_sharded_cg_lm_step(
             "pcij,pjk,pclk->cil", W_c, Hpp_inv, W_c
         )
         M_c = jax.lax.psum(direct_c - schur_c + cprior_blocks, axis)
+        if rig_opt:
+            # Rig camera blocks need the same per-(point, rigcam)
+            # aggregation as cameras: one rig camera observes a point from
+            # several instances.
+            G_r = jnp.einsum("oki,okj->oij", Jr, Jp)
+            direct_r = jax.ops.segment_sum(
+                jnp.einsum("oki,okj->oij", Jr, Jr), obs_rigcam,
+                num_segments=nr,
+            )
+            key_r = local_point * nr + obs_rigcam
+            W_r = jax.ops.segment_sum(
+                G_r, key_r, num_segments=np_local * nr
+            ).reshape(np_local, nr, 6, 3)
+            schur_r = jnp.einsum("prij,pjk,prlk->ril", W_r, Hpp_inv, W_r)
+            extra_r = rcprior_blocks
+            for r_u, Ji_u, Jr_m, idx_i, idx_r in shot_rows:
+                if Jr_m is not None:
+                    extra_r = extra_r + jax.ops.segment_sum(
+                        jnp.einsum("kmi,kmj->kij", Jr_m, Jr_m), idx_r,
+                        num_segments=nr,
+                    ) / n_dev
+            M_r = jax.lax.psum(direct_r - schur_r + extra_r, axis)
 
         # Marquardt damping on the (clamped) diagonal, Ceres-style.
         diag_i = jnp.clip(
@@ -684,14 +921,27 @@ def make_sharded_cg_lm_step(
         M_c = jnp.where(M_c_any[:, None, None], M_c, eyep)
         Mi_inv = jnp.linalg.inv(M_i) * opt_inst[:, None, None].astype(dtype)
         Mc_inv = jnp.linalg.inv(M_c) * M_c_any[:, None, None].astype(dtype)
+        if rig_opt:
+            diag_r = jnp.clip(jnp.einsum("nii->ni", M_r), 1e-6, 1e32)
+            M_r = M_r + lam * jax.vmap(jnp.diag)(diag_r) + 1e-10 * eye6
+            M_r = jnp.where(opt_rigcam[:, None, None], M_r, eye6)
+            Mr_inv = (
+                jnp.linalg.inv(M_r) * opt_rigcam[:, None, None].astype(dtype)
+            )
+        else:
+            diag_r = jnp.zeros((0, 6), dtype)
+            Mr_inv = jnp.zeros((0, 6, 6), dtype)
 
         # --- matrix-free damped Schur matvec -------------------------------
-        def matvec(v_i, v_c):
+        def matvec(v_i, v_r, v_c):
             v_i = v_i * opt_i6
             v_c = v_c * opt_cp
             t = jnp.einsum("oki,oi->ok", Ji, v_i[obs_inst]) + jnp.einsum(
                 "oki,oi->ok", Jcam, v_c[obs_cam]
             )
+            if rig_opt:
+                v_r = v_r * opt_r6
+                t = t + jnp.einsum("oki,oi->ok", Jr, v_r[obs_rigcam])
             u = jax.ops.segment_sum(
                 jnp.einsum("okj,ok->oj", Jp, t), local_point,
                 num_segments=np_local,
@@ -706,22 +956,50 @@ def make_sharded_cg_lm_step(
                 jnp.einsum("oki,ok->oi", Jcam, t - y), obs_cam,
                 num_segments=nc,
             ) + jnp.einsum("nij,nj->ni", cprior_blocks, v_c)
+            if rig_opt:
+                o_r = jax.ops.segment_sum(
+                    jnp.einsum("oki,ok->oi", Jr, t - y), obs_rigcam,
+                    num_segments=nr,
+                ) + jnp.einsum("nij,nj->ni", rcprior_blocks, v_r)
+            else:
+                o_r = v_r
+            for r_u, Ji_u, Jr_m, idx_i, idx_r in shot_rows:
+                t_u = jnp.einsum("kmi,ki->km", Ji_u, v_i[idx_i])
+                if Jr_m is not None:
+                    t_u = t_u + jnp.einsum("kmi,ki->km", Jr_m, v_r[idx_r])
+                o_i = o_i + jax.ops.segment_sum(
+                    jnp.einsum("kmi,km->ki", Ji_u, t_u), idx_i,
+                    num_segments=ni,
+                ) / n_dev
+                if Jr_m is not None:
+                    o_r = o_r + jax.ops.segment_sum(
+                        jnp.einsum("kmi,km->ki", Jr_m, t_u), idx_r,
+                        num_segments=nr,
+                    ) / n_dev
             o_i = jax.lax.psum(o_i, axis) + lam * diag_i * v_i
             o_c = jax.lax.psum(o_c, axis) + lam * diag_c * v_c
-            return o_i * opt_i6, o_c * opt_cp
+            if rig_opt:
+                o_r = jax.lax.psum(o_r, axis) + lam * diag_r * v_r
+                o_r = o_r * opt_r6
+            return o_i * opt_i6, o_r, o_c * opt_cp
 
-        def precond(v_i, v_c):
+        def precond(v_i, v_r, v_c):
             return (
                 jnp.einsum("nij,nj->ni", Mi_inv, v_i),
+                jnp.einsum("nij,nj->ni", Mr_inv, v_r),
                 jnp.einsum("nij,nj->ni", Mc_inv, v_c),
             )
 
-        def dot(a, b):
-            return jnp.sum(a[0] * b[0]) + jnp.sum(a[1] * b[1])
+        def dot(x, y):
+            # f64 accumulation island: CG's alpha/beta ratios are the
+            # numerically fragile part of the f32 path.
+            return sum(
+                jnp.sum((xa * ya).astype(acc)) for xa, ya in zip(x, y)
+            ).astype(dtype)
 
         # --- preconditioned CG --------------------------------------------
-        b = (b_i * opt_i6, b_c * opt_cp)
-        x = (jnp.zeros_like(b_i), jnp.zeros_like(b_c))
+        b = (b_i * opt_i6, b_r * opt_r6 if rig_opt else b_r, b_c * opt_cp)
+        x = tuple(jnp.zeros_like(v) for v in b)
         rr = b
         z = precond(*rr)
         p = z
@@ -736,49 +1014,47 @@ def make_sharded_cg_lm_step(
             x, rr, z, p, rz, k = carry
             Ap = matvec(*p)
             alpha = rz / jnp.maximum(dot(p, Ap), 1e-30)
-            x = (x[0] + alpha * p[0], x[1] + alpha * p[1])
-            rr = (rr[0] - alpha * Ap[0], rr[1] - alpha * Ap[1])
+            x = tuple(xa + alpha * pa for xa, pa in zip(x, p))
+            rr = tuple(ra - alpha * Aa for ra, Aa in zip(rr, Ap))
             z = precond(*rr)
             rz_new = dot(rr, z)
             beta = rz_new / jnp.maximum(rz, 1e-30)
-            p = (z[0] + beta * p[0], z[1] + beta * p[1])
+            p = tuple(za + beta * pa for za, pa in zip(z, p))
             return (x, rr, z, p, rz_new, k + 1)
 
         x, rr, _, _, _, iters = jax.lax.while_loop(
             cond, body, (x, rr, z, p, rz, jnp.zeros((), jnp.int32))
         )
-        dx_i, dx_c = x
+        dx_i, dx_r, dx_c = x
 
         # --- back-substitute local points ----------------------------------
         t = jnp.einsum("oki,oi->ok", Ji, dx_i[obs_inst]) + jnp.einsum(
             "oki,oi->ok", Jcam, dx_c[obs_cam]
         )
+        if rig_opt:
+            t = t + jnp.einsum("oki,oi->ok", Jr, dx_r[obs_rigcam])
         u = jax.ops.segment_sum(
             jnp.einsum("okj,ok->oj", Jp, t), local_point,
             num_segments=np_local,
         )
         dx_p = jnp.einsum("pij,pj->pi", Hpp_inv, bp - u)
 
-        return inst - dx_i, cam - dx_c, points - dx_p
+        out = (inst - dx_i,)
+        if rig_opt:
+            out = out + (rigcam - dx_r,)
+        return out + (cam - dx_c, points - dx_p)
 
     from jax import shard_map
 
-    rep = P()
-    sh = P(axis)
+    in_specs = tuple(
+        P(axis) if n in _CG_SHARDED else P() for n in step_names
+    )
+    out_specs = (P(),) * (3 if rig_opt else 2) + (P(axis),)
     sharded = shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(
-            rep, rep, sh,               # inst, cam, points
-            sh, sh, sh, sh, sh,         # obs arrays
-            rep, rep,                   # gps
-            rep, rep, rep,              # camera priors
-            sh, sh, sh,                 # point priors (GCP)
-            rep, rep, sh,               # opt masks
-            rep,                        # lam
-            sh,                         # point_base
-        ),
-        out_specs=(rep, rep, sh),
+        in_specs=in_specs,
+        out_specs=out_specs,
         check_vma=False,
     )
     return jax.jit(sharded)
@@ -794,74 +1070,108 @@ def make_sharded_cost(
     nc: int,
     loss: str = "SoftLOneLoss",
     loss_threshold: float = 1.0,
+    nr: int = 1,
+    rig_mode: str = "none",
+    with_depth: bool = False,
+    has_up: bool = False,
+    has_ang: bool = False,
 ):
     """Total objective over the sharded layout (the accept/reject metric of
     the distributed damping loop).  Matches lm._total_cost for the residual
-    families the CG step carries: robust reprojection, GPS instance priors,
-    camera parameter priors, point position priors (optional Cauchy).
+    families the CG step carries: robust reprojection (through the rig
+    chain), depth-prior rows, GPS instance priors, camera parameter priors,
+    rig camera pose priors, point position priors (optional Cauchy), and
+    Cauchy(1) up-vector / pan-tilt-roll shot rows.
 
-    cost(inst, cam, points, obs_uv, obs_inv_sd, obs_point, obs_inst,
-         obs_cam, gps_pos, gps_inv_sd, cam_prior, cam_prior_inv_sd,
-         cam_log_mask, point_prior, point_prior_inv_sd, point_prior_loss,
-         point_base) -> scalar (replicated)
+    cost(*args) -> scalar (replicated), args ordered by
+    `_cg_cost_names(rig_mode, with_depth, has_up, has_ang)`.
     """
+    cost_names = _cg_cost_names(rig_mode, with_depth, has_up, has_ang)
 
-    def local_cost(inst, cam, points, obs_uv, obs_inv_sd, obs_point,
-                   obs_inst, obs_cam, gps_pos, gps_inv_sd,
-                   cam_prior, cam_prior_inv_sd, cam_log_mask,
-                   point_prior, point_prior_inv_sd, point_prior_loss,
-                   point_base):
+    def local_cost(*args):
+        a = dict(zip(cost_names, args))
+        inst, cam, points = a["inst"], a["cam"], a["points"]
         dtype = points.dtype
-        local_point = obs_point - point_base[0]
+        acc = _acc_dtype(dtype)
+        local_point = a["obs_point"] - a["point_base"][0]
         X = points[local_point]
-        inst_o = inst[obs_inst]
-        Xc = rot.rotate(inst_o[:, 0:3], X) + inst_o[:, 3:6]
-        pred = cam_lib.project(ptype, Xc, cam[obs_cam][:, :pmax], xp=jnp)
-        diff = pred - obs_uv
+        inst_o = inst[a["obs_inst"]]
+        Xi = rot.rotate(inst_o[:, 0:3], X) + inst_o[:, 3:6]
+        if rig_mode != "none":
+            rc = a["rigcam"][a["obs_rigcam"]]
+            Xc = rot.rotate(rc[:, 0:3], Xi) + rc[:, 3:6]
+        else:
+            Xc = Xi
+        pred = cam_lib.project(
+            ptype, Xc, cam[a["obs_cam"]][:, :pmax], xp=jnp
+        )
+        diff = pred - a["obs_uv"]
         if ptype == "spherical":
             diff = diff - jnp.round(diff)
-        r = diff * obs_inv_sd[:, None]
+        r = diff * a["obs_inv_sd"][:, None]
         rho, _ = LOSSES[loss]
         a2 = loss_threshold * loss_threshold
         s = jnp.sum(r * r, axis=-1)
-        total = jnp.sum(0.5 * a2 * rho(s / a2))
+        total = jnp.sum((0.5 * a2 * rho(s / a2)).astype(acc))
+        if with_depth:
+            norm = jnp.sqrt(jnp.sum(Xc * Xc, axis=-1) + 1e-30)
+            pd = jnp.where(a["obs_depth_radial"], norm, Xc[:, 2])
+            r_d = (pd - a["obs_depth"]) * a["obs_depth_inv_sd"]
+            total = total + jnp.sum(
+                (0.5 * a2 * rho(r_d * r_d / a2)).astype(acc)
+            )
 
         # Point priors (shard-local; Cauchy when point_prior_loss > 0).
-        pp_r = (points - point_prior) * point_prior_inv_sd
+        pp_r = (points - a["point_prior"]) * a["point_prior_inv_sd"]
         sp = jnp.sum(pp_r * pp_r, axis=-1)
-        c = point_prior_loss
+        c = a["point_prior_loss"]
         c2 = jnp.where(c > 0, c * c, 1.0)
         per = jnp.where(c > 0, 0.5 * c2 * jnp.log1p(sp / c2), 0.5 * sp)
-        total = total + jnp.sum(per)
+        total = total + jnp.sum(per.astype(acc))
 
         # Replicated prior families: add once (divide by device count).
-        n_dev = jax.lax.psum(jnp.ones((), dtype=dtype), axis)
+        n_dev = jax.lax.psum(jnp.ones((), dtype=acc), axis)
         gr = jax.vmap(
             lambda i6, pos, inv: (-rot.rotate(-i6[:3], i6[3:6]) - pos) * inv
-        )(inst, gps_pos, gps_inv_sd[:, None])
-        cp_r = _cam_prior_residual(cam, cam_prior, cam_prior_inv_sd,
-                                   cam_log_mask)
-        total = total + (
-            0.5 * jnp.sum(gr * gr) + 0.5 * jnp.sum(cp_r * cp_r)
-        ) / n_dev
-        return jax.lax.psum(total, axis)
+        )(inst, a["gps_pos"], a["gps_inv_sd"][:, None])
+        cp_r = _cam_prior_residual(
+            cam, a["cam_prior"], a["cam_prior_inv_sd"], a["cam_log_mask"]
+        )
+        rep_total = 0.5 * jnp.sum((gr * gr).astype(acc)) + 0.5 * jnp.sum(
+            (cp_r * cp_r).astype(acc)
+        )
+        if rig_mode == "opt":
+            rc_r = (
+                a["rigcam"] - a["rigcam_prior"]
+            ) * a["rigcam_prior_inv_sd"]
+            rep_total = rep_total + 0.5 * jnp.sum((rc_r * rc_r).astype(acc))
+        if has_up or has_ang:
+            from opensfm_tpu.ba import lm as _lm
+
+            rigcam = a.get("rigcam")
+            if rigcam is None:
+                rigcam = jnp.zeros((1, 6), dtype)
+            rho_c = LOSSES["CauchyLoss"][0]
+            for pr in _lm._shot_prior_residuals(
+                (inst, rigcam), _shot_row_data(a), raw=True
+            ):
+                su = jnp.sum(pr * pr, axis=-1)
+                rep_total = rep_total + jnp.sum(
+                    (0.5 * rho_c(su)).astype(acc)
+                )
+        total = total + rep_total / n_dev
+        return jax.lax.psum(total, axis).astype(dtype)
 
     from jax import shard_map
 
-    rep = P()
-    sh = P(axis)
+    in_specs = tuple(
+        P(axis) if n in _CG_SHARDED else P() for n in cost_names
+    )
     sharded = shard_map(
         local_cost,
         mesh=mesh,
-        in_specs=(
-            rep, rep, sh,
-            sh, sh, sh, sh, sh,
-            rep, rep,
-            rep, rep, rep,
-            sh, sh, sh,
-            sh,
-        ),
-        out_specs=rep,
+        in_specs=in_specs,
+        out_specs=P(),
         check_vma=False,
     )
     return jax.jit(sharded)
@@ -876,23 +1186,21 @@ def make_sharded_cost(
 
 def check_cg_compatible(problem: BAProblem):
     """Reason the camera-block-sparse CG path cannot run this problem, or
-    None when it can.  The CG step covers the mono fast path: one
-    projection type, identity/fixed rig cameras, no up-vector/angle/depth
-    rows, no pose-graph constraint families."""
+    None when it can.
+
+    Round-4 coverage (VERDICT r3 item 1): rigs — both locked non-identity
+    rig cameras (composed into the projection chain) AND optimized rig
+    cameras (their own CG block family) — up-vector and pan/tilt/roll
+    rows, and per-observation depth priors are all handled in-path now.
+    Remaining exclusions: mixed projection types (the step is specialized
+    per type) and the pose-graph constraint families (submodel-alignment
+    rows — ReconstructionAlignment territory, ba/alignment.py)."""
     ptypes = (
         {problem.ptype} if isinstance(problem.ptype, str)
         else {seg[0] for seg in problem.ptype}
     )
     if len(ptypes) != 1:
         return f"multiple projection types {sorted(ptypes)}"
-    if bool(np.asarray(problem.opt_rigcam).any()):
-        return "optimized rig cameras"
-    if float(np.abs(np.asarray(problem.rigcam)).max(initial=0.0)) > 1e-12:
-        return "non-identity rig cameras"
-    for name in ("up_inv_sd", "ang_inv_sd", "obs_depth_inv_sd"):
-        arr = getattr(problem, name)
-        if arr is not None and bool(np.any(np.asarray(arr) > 0)):
-            return f"{name} rows present"
     for name in ("rm_i", "rr_i", "cp_i", "lin_i0", "hm_inst", "gauge_i",
                  "scales"):
         arr = getattr(problem, name)
@@ -903,12 +1211,35 @@ def check_cg_compatible(problem: BAProblem):
     return None
 
 
+def _cg_modes(problem: BAProblem):
+    """Static feature flags of the CG step for this problem:
+    (rig_mode, with_depth, has_up, has_ang)."""
+    if bool(np.asarray(problem.opt_rigcam).any()):
+        rig_mode = "opt"
+    elif float(np.abs(np.asarray(problem.rigcam)).max(initial=0.0)) > 1e-12:
+        rig_mode = "fixed"
+    else:
+        rig_mode = "none"
+    with_depth = problem.obs_depth_inv_sd is not None and bool(
+        np.any(np.asarray(problem.obs_depth_inv_sd) > 0)
+    )
+    has_up = problem.up_inv_sd is not None and (
+        np.asarray(problem.up_inv_sd).shape[0] > 0
+    )
+    has_ang = problem.ang_inv_sd is not None and (
+        np.asarray(problem.ang_inv_sd).shape[0] > 0
+    )
+    return rig_mode, with_depth, has_up, has_ang
+
+
 def _cg_args(problem: BAProblem, n_shards: int, dtype):
-    """Build the sharded CG step's argument tuple (minus lam) from a
-    problem already laid out by `shard_problem`."""
+    """Build the sharded CG step's argument dict from a problem already
+    laid out by `shard_problem` (a superset: each step/cost signature picks
+    its names via _cg_step_names/_cg_cost_names)."""
     import jax.numpy as jnp
 
     npts = len(problem.points)
+    num_obs = len(problem.obs_uv)
     pts_per_shard = npts // n_shards
     point_base = (np.arange(npts) // pts_per_shard) * pts_per_shard
     ppl = (
@@ -916,7 +1247,57 @@ def _cg_args(problem: BAProblem, n_shards: int, dtype):
         if problem.point_prior_loss is not None
         else np.zeros(npts)
     )
-    return dict(
+
+    def opt(x, default):
+        return np.asarray(x) if x is not None else default
+
+    extras = dict(
+        rigcam=jnp.asarray(problem.rigcam, dtype=dtype),
+        obs_rigcam=jnp.asarray(problem.obs_rigcam, dtype=jnp.int32),
+        obs_depth=jnp.asarray(
+            opt(problem.obs_depth, np.zeros(num_obs)), dtype=dtype
+        ),
+        obs_depth_inv_sd=jnp.asarray(
+            opt(problem.obs_depth_inv_sd, np.zeros(num_obs)), dtype=dtype
+        ),
+        obs_depth_radial=jnp.asarray(
+            opt(problem.obs_depth_radial, np.zeros(num_obs, bool)),
+            dtype=bool,
+        ),
+        rigcam_prior=jnp.asarray(problem.rigcam_prior, dtype=dtype),
+        rigcam_prior_inv_sd=jnp.asarray(
+            problem.rigcam_prior_inv_sd, dtype=dtype
+        ),
+        opt_rigcam=jnp.asarray(problem.opt_rigcam, dtype=bool),
+        up_inst=jnp.asarray(
+            opt(problem.up_inst, np.zeros(0, np.int32)), dtype=jnp.int32
+        ),
+        up_rigcam=jnp.asarray(
+            opt(problem.up_rigcam, np.zeros(0, np.int32)), dtype=jnp.int32
+        ),
+        up_vec=jnp.asarray(
+            opt(problem.up_vec, np.zeros((0, 3))), dtype=dtype
+        ),
+        up_inv_sd=jnp.asarray(
+            opt(problem.up_inv_sd, np.zeros(0)), dtype=dtype
+        ),
+        ang_kind=jnp.asarray(
+            opt(problem.ang_kind, np.zeros(0, np.int32)), dtype=jnp.int32
+        ),
+        ang_inst=jnp.asarray(
+            opt(problem.ang_inst, np.zeros(0, np.int32)), dtype=jnp.int32
+        ),
+        ang_rigcam=jnp.asarray(
+            opt(problem.ang_rigcam, np.zeros(0, np.int32)), dtype=jnp.int32
+        ),
+        ang_value=jnp.asarray(
+            opt(problem.ang_value, np.zeros(0)), dtype=dtype
+        ),
+        ang_inv_sd=jnp.asarray(
+            opt(problem.ang_inv_sd, np.zeros(0)), dtype=dtype
+        ),
+    )
+    extras.update(
         inst=jnp.asarray(problem.inst, dtype=dtype),
         cam=jnp.asarray(problem.cam, dtype=dtype),
         points=jnp.asarray(problem.points, dtype=dtype),
@@ -939,6 +1320,7 @@ def _cg_args(problem: BAProblem, n_shards: int, dtype):
         opt_points=jnp.asarray(problem.opt_points, dtype=bool),
         point_base=jnp.asarray(point_base, dtype=jnp.int32),
     )
+    return extras
 
 
 def bundle_adjust_sharded(
@@ -946,7 +1328,7 @@ def bundle_adjust_sharded(
     max_iterations: int = 50,
     initial_lambda: float = 1e-4,
     tol: float = 1e-10,
-    dtype=np.float64,
+    dtype=np.float32,
     mesh: "Mesh | None" = None,
     axis: str = "points",
     cg_iters: int = 100,
@@ -961,8 +1343,12 @@ def bundle_adjust_sharded(
     is amortized: this path is for problems big enough that one CG solve
     dwarfs a round-trip.
 
-    Returns a BAResult shaped like `bundle_adjust`'s (rigcam passed
-    through — the CG path requires identity/fixed rig cameras).
+    Compute runs in f32 by default (SURVEY §7.3: TPU f64 is emulated and
+    slow) with f64 accumulation islands for the objective sums and CG dot
+    products; pass dtype=np.float64 for the CPU-mesh exactness tests.
+
+    Returns a BAResult shaped like `bundle_adjust`'s (rigcam optimized
+    when the problem optimizes it, passed through otherwise).
     """
     import jax
     import jax.numpy as jnp
@@ -980,55 +1366,48 @@ def bundle_adjust_sharded(
         else problem.ptype[0][0]
     )
     sharded = shard_problem(problem, n_shards)
+    rig_mode, with_depth, has_up, has_ang = _cg_modes(sharded)
     ni, nr, nc, npts, O, T = sharded.counts()
     pmax = sharded.cam.shape[1]
 
+    kw = dict(
+        loss=problem.loss, loss_threshold=float(problem.loss_threshold),
+        nr=nr, rig_mode=rig_mode, with_depth=with_depth, has_up=has_up,
+        has_ang=has_ang,
+    )
     step = make_sharded_cg_lm_step(
-        mesh, axis, ptype, pmax, ni, nc, loss=problem.loss,
-        loss_threshold=float(problem.loss_threshold),
-        cg_iters=cg_iters, cg_tol=cg_tol,
+        mesh, axis, ptype, pmax, ni, nc, cg_iters=cg_iters, cg_tol=cg_tol,
+        **kw,
     )
-    cost_fn = make_sharded_cost(
-        mesh, axis, ptype, pmax, ni, nc, loss=problem.loss,
-        loss_threshold=float(problem.loss_threshold),
-    )
+    cost_fn = make_sharded_cost(mesh, axis, ptype, pmax, ni, nc, **kw)
+    step_names = _cg_step_names(rig_mode, with_depth, has_up, has_ang)
+    cost_names = _cg_cost_names(rig_mode, with_depth, has_up, has_ang)
     a = _cg_args(sharded, n_shards, getattr(jnp, np.dtype(dtype).name))
+    rig_opt = rig_mode == "opt"
 
-    cost_keys = (
-        "obs_uv", "obs_inv_sd", "obs_point", "obs_inst", "obs_cam",
-        "gps_pos", "gps_inv_sd", "cam_prior", "cam_prior_inv_sd",
-        "cam_log_mask", "point_prior", "point_prior_inv_sd",
-        "point_prior_loss",
+    state_keys = (
+        ("inst", "rigcam", "cam", "points") if rig_opt
+        else ("inst", "cam", "points")
     )
 
-    def cost_of(inst, cam, points):
-        return float(
-            cost_fn(inst, cam, points, *(a[k] for k in cost_keys),
-                    a["point_base"])
-        )
+    def cost_of():
+        return float(cost_fn(*(a[k] for k in cost_names)))
 
-    inst, cam, points = a["inst"], a["cam"], a["points"]
     lam = float(initial_lambda)
-    cost = cost_of(inst, cam, points)
+    cost = cost_of()
     initial_cost = cost
     accepted = 0
     rejects = 0
     trials = 0
     while accepted < max_iterations and trials < 16 * max_iterations:
         trials += 1
-        lam_dev = jnp.asarray(lam, dtype=points.dtype)
-        t_inst, t_cam, t_points = step(
-            inst, cam, points, *(a[k] for k in cost_keys[:5]),
-            a["gps_pos"], a["gps_inv_sd"], a["cam_prior"],
-            a["cam_prior_inv_sd"], a["cam_log_mask"], a["point_prior"],
-            a["point_prior_inv_sd"], a["point_prior_loss"],
-            a["opt_inst"], a["opt_cam"], a["opt_points"], lam_dev,
-            a["point_base"],
-        )
-        new_cost = cost_of(t_inst, t_cam, t_points)
+        a["lam"] = jnp.asarray(lam, dtype=a["points"].dtype)
+        trial = dict(zip(state_keys, step(*(a[k] for k in step_names))))
+        saved = {k: a[k] for k in state_keys}
+        a.update(trial)
+        new_cost = cost_of()
         if np.isfinite(new_cost) and new_cost < cost:
             rel = (cost - new_cost) / max(cost, 1e-30)
-            inst, cam, points = t_inst, t_cam, t_points
             cost = new_cost
             lam = max(lam / 3.0, 1e-12)
             accepted += 1
@@ -1036,16 +1415,20 @@ def bundle_adjust_sharded(
             if rel < tol:
                 break
         else:
+            a.update(saved)  # reject: restore the pre-trial state
             lam = min(lam * 10.0, 1e8)
             rejects += 1
             if rejects >= 16:
                 break
 
     return BAResult(
-        inst=np.asarray(inst)[:ni],
-        rigcam=np.asarray(problem.rigcam),
-        cam=np.asarray(cam),
-        points=np.asarray(points)[:npts_orig],
+        inst=np.asarray(a["inst"])[:ni],
+        rigcam=(
+            np.asarray(a["rigcam"]) if rig_opt
+            else np.asarray(problem.rigcam)
+        ),
+        cam=np.asarray(a["cam"]),
+        points=np.asarray(a["points"])[:npts_orig],
         initial_cost=initial_cost,
         final_cost=cost,
         iterations=accepted,

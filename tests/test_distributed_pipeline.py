@@ -46,8 +46,13 @@ def test_bundle_adjust_sharded_converges_like_single_device():
 def test_bundle_adjust_sharded_rejects_incompatible():
     from opensfm_tpu.parallel import bundle_adjust_sharded, check_cg_compatible
 
+    # Round 4: rigs / up rows / depth priors are all IN-path now (VERDICT r3
+    # item 1); only pose-graph constraint families remain incompatible.
     problem = _make_problem(n_shots=8, n_points=128, seed=2)
     problem.rigcam = np.array([[0.1, 0, 0, 0.5, 0, 0]])  # non-identity rig
+    assert check_cg_compatible(problem) is None
+
+    problem.rm_i = np.array([0], dtype=np.int32)  # pose-graph family
     assert check_cg_compatible(problem) is not None
     with pytest.raises(ValueError):
         bundle_adjust_sharded(problem, max_iterations=2)
@@ -103,3 +108,228 @@ def test_incremental_reconstruction_distributed():
     assert 0 < errors["aligned_position_rmse"] < 0.03
     assert 0 < errors["aligned_rotation_rmse"] < 0.003
     assert 0 < errors["aligned_points_rmse"] < 0.1
+
+
+# ---------------------------------------------------------------------------
+# Round-4 CG generalization (VERDICT r3 item 1): rigs (fixed AND optimized),
+# per-observation depth priors, up-vector rows — all in-path, at f32.
+# ---------------------------------------------------------------------------
+
+
+def _with_rig_chain(problem, rigcam6, seed=0, noise=0.0005):
+    """Re-synthesize the problem's observations through a rig chain so the
+    geometry is consistent with a non-identity rig camera."""
+    import jax.numpy as jnp
+
+    from opensfm_tpu.ba.lm import _transform_rig
+    from opensfm_tpu.geometry import cameras as cl
+
+    rng = np.random.default_rng(seed)
+    problem.rigcam = np.asarray(rigcam6, dtype=np.float64).reshape(1, 6)
+    Xc = np.asarray(
+        _transform_rig(
+            jnp.asarray(problem.inst[problem.obs_inst]),
+            jnp.asarray(problem.rigcam[problem.obs_rigcam]),
+            jnp.asarray(problem.points[problem.obs_point]),
+        )
+    )
+    problem.obs_uv = cl.project(
+        "perspective", Xc, problem.cam[0], xp=np
+    ) + rng.normal(0, noise, (len(Xc), 2))
+    return problem
+
+
+def test_cg_fixed_rig_matches_single_device():
+    """Locked non-identity rig cameras compose into the CG projection
+    chain (lm._transform_rig semantics)."""
+    from opensfm_tpu.ba.lm import bundle_adjust
+    from opensfm_tpu.parallel import bundle_adjust_sharded, check_cg_compatible
+
+    p = _with_rig_chain(
+        _make_problem(n_shots=12, n_points=256, seed=3),
+        [0.05, -0.02, 0.01, 0.3, -0.1, 0.2],
+    )
+    assert check_cg_compatible(p) is None
+    rd = bundle_adjust(p, max_iterations=15)
+    rs = bundle_adjust_sharded(p, max_iterations=15)
+    assert rs.final_cost <= rd.final_cost * 1.10 + 1e-9, (
+        rs.final_cost, rd.final_cost,
+    )
+
+
+def test_cg_optimized_rig_matches_single_device():
+    """Optimized rig cameras are their own CG block family (with value-
+    space priors), reaching the same basin as the dense solver."""
+    from opensfm_tpu.ba.lm import bundle_adjust
+    from opensfm_tpu.parallel import bundle_adjust_sharded
+
+    rng = np.random.default_rng(7)
+    p = _with_rig_chain(
+        _make_problem(n_shots=12, n_points=256, seed=4),
+        [0.05, -0.02, 0.01, 0.3, -0.1, 0.2],
+    )
+    p.rigcam = p.rigcam + rng.normal(0, 0.005, (1, 6))
+    p.opt_rigcam = np.ones(1, bool)
+    p.rigcam_prior = p.rigcam.copy()
+    p.rigcam_prior_inv_sd = np.full((1, 6), 10.0)
+    rd = bundle_adjust(p, max_iterations=20)
+    rs = bundle_adjust_sharded(p, max_iterations=20)
+    assert rs.final_cost <= rd.final_cost * 1.10 + 1e-9, (
+        rs.final_cost, rd.final_cost,
+    )
+    # The optimized rig camera lands where the dense solver puts it.
+    assert np.abs(rs.rigcam - rd.rigcam).max() < 5e-3
+
+
+def test_cg_depth_priors_match_single_device():
+    """Per-observation depth-prior rows (RelativeDepthError) ride the CG
+    observation shard."""
+    from opensfm_tpu.ba.lm import bundle_adjust
+    from opensfm_tpu.geometry.pose import Pose
+    from opensfm_tpu.parallel import bundle_adjust_sharded, check_cg_compatible
+
+    rng = np.random.default_rng(1)
+    p = _make_problem(n_shots=12, n_points=256, seed=5)
+    O = len(p.obs_uv)
+    Rm = np.stack(
+        [Pose(p.inst[i, :3], p.inst[i, 3:]).get_rotation_matrix()
+         for i in p.obs_inst]
+    )
+    Xc = np.einsum("oij,oj->oi", Rm, p.points[p.obs_point]) \
+        + p.inst[p.obs_inst, 3:]
+    mask = rng.random(O) < 0.33
+    p.obs_depth = np.where(mask, Xc[:, 2] + rng.normal(0, 0.01, O), 0.0)
+    p.obs_depth_inv_sd = np.where(mask, 10.0, 0.0)
+    p.obs_depth_radial = np.zeros(O, bool)
+    assert check_cg_compatible(p) is None
+    rd = bundle_adjust(p, max_iterations=15)
+    rs = bundle_adjust_sharded(p, max_iterations=15)
+    assert rs.final_cost <= rd.final_cost * 1.10 + 1e-9, (
+        rs.final_cost, rd.final_cost,
+    )
+
+
+def test_cg_up_vector_rows_match_single_device():
+    """Replicated up-vector (orientation-prior) rows: per-shot Cauchy(1)
+    rows on the instance blocks, exact in the CG matvec."""
+    from opensfm_tpu.ba.lm import bundle_adjust
+    from opensfm_tpu.parallel import bundle_adjust_sharded, check_cg_compatible
+
+    p = _make_problem(n_shots=12, n_points=256, seed=6)
+    n = 12
+    p.up_inst = np.arange(n, dtype=np.int32)
+    p.up_rigcam = np.zeros(n, dtype=np.int32)
+    p.up_vec = np.tile(np.array([0.0, -1.0, 0.0]), (n, 1))
+    p.up_inv_sd = np.full(n, 1e3)
+    assert check_cg_compatible(p) is None
+    rd = bundle_adjust(p, max_iterations=15)
+    rs = bundle_adjust_sharded(p, max_iterations=15)
+    assert rs.final_cost <= rd.final_cost * 1.10 + 1e-9, (
+        rs.final_cost, rd.final_cost,
+    )
+
+
+def _run_distributed_e2e(make_scene, config_overrides, gcps=None):
+    """Incremental reconstruction with bundle_distributed: yes and the CG
+    compatibility gate INSTRUMENTED: every full-map bundle must take the
+    sharded path (a non-None reason == a silent fallback == failure)."""
+    import opensfm_tpu.ba.problem as ba_problem
+    import opensfm_tpu.parallel.distributed_ba as dba
+    from opensfm_tpu import reconstruction
+    from opensfm_tpu.synthetic_data import synthetic_dataset, synthetic_scene
+
+    scene = make_scene()
+    dataset = synthetic_dataset.SyntheticDataSet(
+        scene.reconstruction, scene.exifs, scene.features,
+        scene.tracks_manager, gcps if gcps is not None else scene.gcps,
+    )
+    dataset.config["bundle_distributed"] = "yes"
+    dataset.config["bundle_distributed_min_shots"] = 1
+    dataset.config.update(config_overrides)
+
+    reasons = []
+    sharded_calls = {"n": 0}
+    orig_check = dba.check_cg_compatible
+    orig_sharded = dba.bundle_adjust_sharded
+
+    def checking(problem):
+        reason = orig_check(problem)
+        reasons.append(reason)
+        return reason
+
+    def counting(*args, **kwargs):
+        sharded_calls["n"] += 1
+        return orig_sharded(*args, **kwargs)
+
+    dba.check_cg_compatible = checking
+    dba.bundle_adjust_sharded = counting
+    try:
+        _, recs = reconstruction.incremental_reconstruction(
+            dataset, scene.tracks_manager
+        )
+    finally:
+        dba.check_cg_compatible = orig_check
+        dba.bundle_adjust_sharded = orig_sharded
+
+    assert sharded_calls["n"] >= 1, "no global bundle took the CG path"
+    bad = [r for r in reasons if r is not None]
+    assert not bad, f"full-map bundles fell back to single-device: {bad}"
+    return scene, recs
+
+
+def test_incremental_reconstruction_distributed_rig():
+    """Rig-scene e2e (4 rig cameras, orientation_prior alignment) with
+    EVERY full-map bundle on the sharded CG path — no fallback permitted —
+    meeting the reference's STRICT rig bounds
+    (test_reconstruction_incremental.py:77: position rmse < 0.005)."""
+    from opensfm_tpu import geo
+    from opensfm_tpu.synthetic_data import synthetic_examples, synthetic_scene
+
+    np.random.seed(42)
+    reference = geo.TopocentricConverter(47.0, 6.0, 0)
+
+    def make_scene():
+        data = synthetic_examples.synthetic_rig_scene(reference)
+        return synthetic_scene.SyntheticInputData(
+            data.get_reconstruction(), reference, 40, 1.0, 0.1, 0.1,
+            (0.0, 0.0), False,
+        )
+
+    scene, recs = _run_distributed_e2e(
+        make_scene, {"align_method": "orientation_prior"}, gcps={}
+    )
+    from opensfm_tpu.synthetic_data import synthetic_scene as ss
+
+    errors = ss.compare(scene.reconstruction, {}, recs[0])
+    assert errors["ratio_cameras"] == 1.0
+    assert 0 < errors["aligned_position_rmse"] < 0.005
+    assert 0 < errors["aligned_rotation_rmse"] < 0.001
+    assert 0 < errors["aligned_points_rmse"] < 0.05
+
+
+def test_incremental_reconstruction_distributed_orientation_prior():
+    """Mono circle scene forced through orientation_prior alignment (up-
+    vector rows in every full bundle), all bundles on the CG path, strict
+    position/rotation bounds."""
+    from opensfm_tpu import geo
+    from opensfm_tpu.synthetic_data import synthetic_examples, synthetic_scene
+
+    np.random.seed(42)
+    reference = geo.TopocentricConverter(47.0, 6.0, 0)
+
+    def make_scene():
+        data = synthetic_examples.synthetic_circle_scene(reference)
+        return synthetic_scene.SyntheticInputData(
+            data.get_reconstruction(), reference, 40, 1.0, 5.0, 0.1,
+            (0.01, 0.1), False, 0, None,
+        )
+
+    scene, recs = _run_distributed_e2e(
+        make_scene, {"align_method": "orientation_prior"}, gcps={}
+    )
+    from opensfm_tpu.synthetic_data import synthetic_scene as ss
+
+    errors = ss.compare(scene.reconstruction, {}, recs[0])
+    assert errors["ratio_cameras"] == 1.0
+    assert 0 < errors["aligned_position_rmse"] < 0.03
+    assert 0 < errors["aligned_rotation_rmse"] < 0.003
