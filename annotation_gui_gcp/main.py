@@ -82,6 +82,44 @@ def load_model_payload(dataset_path: str):
     return {"points": points, "shots": shots, "reference_lla": ref}
 
 
+_DISTINCT_COLORS = [
+    "#46f0f0", "#f032e6", "#bcf60c", "#fabebe", "#008080", "#e6beff",
+    "#9a6324", "#fffac8", "#800000", "#aaffc3", "#808000", "#ffd8b1",
+    "#000075", "#808080", "#ffffff", "#e6194b", "#3cb44b", "#ffe119",
+    "#4363d8",
+]
+
+
+def point_color(point_id: str) -> str:
+    """Deterministic per-point color (reference lib/views/image_view.py:7-9
+    point_color over web_view.distinct_colors)."""
+    return _DISTINCT_COLORS[hash(point_id) % 19]
+
+
+def visible_points(manager, image: str):
+    """Control-point observations in one image with their colors — the
+    reference ImageView.sync_to_client payload (image_view.py:78-100):
+    lets the client draw every annotated point on the displayed frame."""
+    out = {}
+    for point_id, point in manager.points.items():
+        for obs in point["observations"]:
+            if obs["shot_id"] == image:
+                out[point_id] = {
+                    "projection": obs["projection"],
+                    "color": point_color(point_id),
+                }
+    return out
+
+
+def point_images(manager, point_id: str):
+    """Images observing a control point, in filename order — track-level
+    navigation (the reference image_view's jump-through-track flow)."""
+    point = manager.points.get(point_id)
+    if not point:
+        return []
+    return sorted(o["shot_id"] for o in point["observations"])
+
+
 def cp_finder_candidates(manager, point_id: str, shown):
     """Candidate images for the selected control point, images not in any
     other open view first (reference lib/views/cp_finder_view.py:21-37
@@ -145,6 +183,16 @@ class AnnotationHandler(SimpleHTTPRequestHandler):
             return self._json({"points": self.manager.points})
         if path == "/model":
             return self._json(load_model_payload(self.dataset_path))
+        if path == "/visible_points":
+            image = (query.get("image") or [""])[0]
+            return self._json({
+                "points": visible_points(self.manager, image),
+            })
+        if path == "/point_images":
+            point_id = (query.get("point_id") or [""])[0]
+            return self._json({
+                "images": point_images(self.manager, point_id),
+            })
         if path == "/cp_finder":
             point_id = (query.get("point_id") or [""])[0]
             shown = [
@@ -218,7 +266,21 @@ class AnnotationHandler(SimpleHTTPRequestHandler):
                 float(body.get("z", 0.0)),
             ))
         if path == "/analyze":
-            return self._json(analyze_dataset(self.dataset_path))
+            # Tools-pane analysis modes (reference tools_view.py:12-31 +
+            # GUI.py:103-134): "reproject" = quick GCP reprojection check,
+            # "rigid"/"flex"/"full" = the run_ba alignment variants.
+            mode = str(body.get("mode", "reproject"))
+            if mode == "reproject":
+                return self._json(analyze_dataset(self.dataset_path))
+            from annotation_gui_gcp.run_ba import align
+
+            try:
+                report = align(self.dataset_path, mode=mode)
+            except (RuntimeError, OSError, ValueError) as e:
+                # Incomplete dataset (no tracks/reconstruction/GCPs):
+                # report, don't crash the request.
+                return self._json({"error": f"{type(e).__name__}: {e}"})
+            return self._json(report)
         self.send_error(404)
 
     def _json(self, obj):

@@ -185,10 +185,12 @@ def find_alignment(points0, points1):
 
 
 def bundle_with_fixed_images(
-    reconstruction, camera_priors, gcp, gcp_std, fixed_images, config
+    reconstruction, camera_priors, gcp, gcp_std, fixed_images, config,
+    covariance=True,
 ):
-    """Bundle adjust keeping some shots fixed, with pose covariance recovery
-    (run_ba.py:274-358)."""
+    """Bundle adjust keeping some shots fixed, with optional pose
+    covariance recovery (run_ba.py:274-358; covariance=False is the GUI's
+    'flex' analysis mode)."""
     builder = _Builder(reconstruction, config)
     for cam_id, camera in reconstruction.cameras.items():
         prior = camera_priors.get(cam_id, camera)
@@ -248,10 +250,12 @@ def bundle_with_fixed_images(
     result = bundle_adjust(
         problem,
         max_iterations=int(config["bundle_max_iterations"]),
-        compute_covariances=True,
+        compute_covariances=covariance,
     )
     builder.writeback(result)
 
+    if not covariance:
+        return False
     if not result.covariance_valid:
         logger.warning("Could not compute covariance")
     else:
@@ -269,9 +273,13 @@ def decompose_covariance(covariance):
 
 
 def align(path: str, rec_a_ix: int = 0, rec_b_ix: int = 1,
-          std_threshold: float = 0.3, px_threshold: float = 0.016):
-    """Align reconstruction b onto a via shared GCPs, bundle with a's shots
-    fixed, and report per-shot position uncertainty (run_ba.py:622-898)."""
+          std_threshold: float = 0.3, px_threshold: float = 0.016,
+          mode: str = "full"):
+    """Align reconstruction b onto a via shared GCPs and analyze
+    (run_ba.py:622-898).  Modes mirror the reference GUI's three analysis
+    buttons (lib/GUI.py:103-134): 'rigid' = similarity alignment only
+    (--rigid), 'flex' = alignment + flexible bundle without covariances,
+    'full' = alignment + bundle + pose-covariance recovery."""
     data = dataset.DataSet(path)
     gcps = data.load_ground_control_points()
     if not gcps:
@@ -292,11 +300,26 @@ def align(path: str, rec_a_ix: int = 0, rec_b_ix: int = 1,
     s, A, b = find_alignment(coords_a, coords_b)
     apply_similarity(rec_b, s, A, b)
 
-    # Merge, bundle with a's shots fixed, recover covariances.
+    if mode == "rigid":
+        merged = merge_reconstructions([rec_a, rec_b], tracks_manager)
+        gcp_reprojections = reproject_gcps(gcps, merged)
+        err = compute_gcp_std(gcp_reprojections)
+        report = {
+            "mode": "rigid",
+            "alignment": {"scale": s, "translation": [float(x) for x in b]},
+            "gcp_reprojection_rms": err,
+            "gcp_errors_after_rigid": gcp_geopositional_error(gcps, merged),
+        }
+        with open(os.path.join(path, "gcp_std_report.json"), "w") as f:
+            json.dump(report, f, indent=4)
+        return report
+
+    # Merge, bundle with a's shots fixed, recover covariances (full).
     merged = merge_reconstructions([rec_a, rec_b], tracks_manager)
     covariance_valid = bundle_with_fixed_images(
         merged, camera_priors, gcps, gcp_std=0.004,
         fixed_images=set(rec_a.shots), config=data.config,
+        covariance=(mode == "full"),
     )
 
     gcp_reprojections = reproject_gcps(gcps, merged)
@@ -315,6 +338,7 @@ def align(path: str, rec_a_ix: int = 0, rec_b_ix: int = 1,
     )
 
     report = {
+        "mode": mode,
         "alignment": {"scale": s, "translation": [float(x) for x in b]},
         "covariance_valid": bool(covariance_valid),
         "gcp_reprojection_rms": err,

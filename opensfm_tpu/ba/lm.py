@@ -2024,6 +2024,9 @@ def bundle_adjust(
     # ONE device program for the whole damping loop: the per-trial host
     # float() syncs of the old loop cost more than the math on a tunneled
     # TPU (see _lm_solve).
+    from opensfm_tpu.context import record_dispatch
+
+    record_dispatch("bundle_lm_solve")
     state, cost0, cost1, lam1, accepted = _lm_solve(
         state, data, jnp.asarray(initial_lambda, dtype=dtype),
         jnp.asarray(tol, dtype=dtype), int(max_iterations),

@@ -254,8 +254,11 @@ class _Builder:
                 points[i] = rec.points[pid].coordinates
 
         # Observations, grouped by projection type for static segments.
-        order = sorted(range(len(self.obs)), key=lambda k: self.obs[k][6])
-        n_obs = len(self.obs)
+        # Vectorized assembly: the round-3 per-observation Python loops
+        # cost ~65 s at the 10.5M-observation scale lane; columnar
+        # fromiter + argsort brings that to a few seconds.
+        obs_list = self.obs
+        n_obs = len(obs_list)
         O = p2(n_obs, floor=2048)
         obs_uv = np.zeros((O, 2))
         obs_inv_sd = np.zeros(O)
@@ -267,22 +270,51 @@ class _Builder:
         obs_depth_inv_sd = np.zeros(O)
         obs_depth_radial = np.zeros(O, dtype=bool)
         segments: List[Tuple[str, int, int]] = []
-        for rank, k in enumerate(order):
-            uv, inv_sd, p, i, r, c, pt, depth = self.obs[k]
-            obs_uv[rank] = uv
-            obs_inv_sd[rank] = inv_sd
-            obs_point[rank] = p
-            obs_inst[rank] = i
-            obs_rigcam[rank] = r
-            obs_cam[rank] = c
-            if depth is not None and np.isfinite(depth.value):
-                obs_depth[rank] = depth.value
-                obs_depth_inv_sd[rank] = 1.0 / max(depth.std_deviation, 1e-12)
-                obs_depth_radial[rank] = bool(depth.is_radial)
-            if not segments or segments[-1][0] != pt:
-                segments.append((pt, rank, rank + 1))
-            else:
-                segments[-1] = (pt, segments[-1][1], rank + 1)
+        if n_obs:
+            type_code = {t: k for k, t in enumerate(
+                sorted({o[6] for o in obs_list})
+            )}
+            codes = np.fromiter(
+                (type_code[o[6]] for o in obs_list), np.int64, n_obs
+            )
+            order = np.argsort(codes, kind="stable")
+            obs_uv[:n_obs] = np.array(
+                [o[0] for o in obs_list], dtype=np.float64
+            )[order]
+            obs_inv_sd[:n_obs] = np.fromiter(
+                (o[1] for o in obs_list), np.float64, n_obs
+            )[order]
+            obs_point[:n_obs] = np.fromiter(
+                (o[2] for o in obs_list), np.int64, n_obs
+            )[order]
+            obs_inst[:n_obs] = np.fromiter(
+                (o[3] for o in obs_list), np.int64, n_obs
+            )[order]
+            obs_rigcam[:n_obs] = np.fromiter(
+                (o[4] for o in obs_list), np.int64, n_obs
+            )[order]
+            obs_cam[:n_obs] = np.fromiter(
+                (o[5] for o in obs_list), np.int64, n_obs
+            )[order]
+            # Depth priors are sparse: touch only the rows that carry one.
+            rank_of = np.empty(n_obs, dtype=np.int64)
+            rank_of[order] = np.arange(n_obs)
+            for k, o in enumerate(obs_list):
+                depth = o[7]
+                if depth is not None and np.isfinite(depth.value):
+                    rank = rank_of[k]
+                    obs_depth[rank] = depth.value
+                    obs_depth_inv_sd[rank] = 1.0 / max(
+                        depth.std_deviation, 1e-12
+                    )
+                    obs_depth_radial[rank] = bool(depth.is_radial)
+            codes_sorted = codes[order]
+            by_code = sorted(type_code.items(), key=lambda kv: kv[1])
+            for pt, code in by_code:
+                lo = int(np.searchsorted(codes_sorted, code, side="left"))
+                hi = int(np.searchsorted(codes_sorted, code, side="right"))
+                if hi > lo:
+                    segments.append((pt, lo, hi))
         if not segments:
             segments = [(used_types[0], 0, O)]
         else:
@@ -290,16 +322,18 @@ class _Builder:
             segments[-1] = (segments[-1][0], segments[-1][1], O)
 
         # CSR point -> obs (padded with the trash slot O).
-        track_lens = np.zeros(npts, dtype=np.int64)
-        for rank in range(n_obs):
-            track_lens[obs_point[rank]] += 1
-        T = p2(int(track_lens.max()) if n_obs else 1, floor=8)
-        point_obs = np.full((npts, T), O, dtype=np.int64)
-        slot = np.zeros(npts, dtype=np.int64)
-        for rank in range(n_obs):
-            p = obs_point[rank]
-            point_obs[p, slot[p]] = rank
-            slot[p] += 1
+        if n_obs:
+            pts_used = obs_point[:n_obs]
+            track_lens = np.bincount(pts_used, minlength=npts)
+            T = p2(int(track_lens.max(initial=1)), floor=8)
+            point_obs = np.full((npts, T), O, dtype=np.int64)
+            order_p = np.argsort(pts_used, kind="stable")
+            starts = np.concatenate([[0], np.cumsum(track_lens)[:-1]])
+            slot_in_point = np.arange(n_obs) - starts[pts_used[order_p]]
+            point_obs[pts_used[order_p], slot_in_point] = order_p
+        else:
+            T = p2(1, floor=8)
+            point_obs = np.full((npts, T), O, dtype=np.int64)
 
         gps_pos = np.zeros((ni, 3))
         gps_inv_sd = np.zeros(ni)

@@ -116,6 +116,10 @@ DEFAULTS: Dict[str, Any] = dict(
     triangulation_refinement_iterations=10,
     resection_threshold=0.004,
     resection_min_inliers=10,
+    # Candidate resections per batched P3P-RANSAC dispatch in the growth
+    # loop (TPU extension, SURVEY §7.3: one device program tries a whole
+    # round of candidates; 1 = the reference's sequential walk).
+    resection_batch_size=8,
     # -- tracks -------------------------------------------------------------
     min_track_length=2,
     use_depth_prior=False,

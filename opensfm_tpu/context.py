@@ -65,3 +65,26 @@ def processes_that_fit_in_memory(desired: int, per_process: int) -> int:
         fittable = max(1, int(available / per_process))
         return min(desired, fittable)
     return desired
+
+
+# ---------------------------------------------------------------------------
+# Device-dispatch accounting (SURVEY §7.3 "sequentiality of incremental
+# SfM"): each entry is one jitted device program invocation at a hot call
+# site.  Host-side and cheap numpy work is NOT counted.  bench_e2e.py reads
+# these to show the growth loop's dispatch count before/after candidate
+# batching (VERDICT r3 item 4).
+# ---------------------------------------------------------------------------
+
+DISPATCH_COUNTS: dict = {}
+
+
+def record_dispatch(tag: str, n: int = 1) -> None:
+    DISPATCH_COUNTS[tag] = DISPATCH_COUNTS.get(tag, 0) + n
+
+
+def reset_dispatch_counts() -> None:
+    DISPATCH_COUNTS.clear()
+
+
+def dispatch_counts() -> dict:
+    return dict(DISPATCH_COUNTS)

@@ -133,6 +133,26 @@ def absolute_pose_ransac(
     return np.asarray(result.model)
 
 
+def absolute_pose_ransac_batched(
+    bs_list, Xs_list, threshold: float, iterations: int,
+    probability: float = 0.999,
+):
+    """P3P RANSAC for B independent candidate problems in ONE device
+    dispatch (growth-loop resection batching).  Returns a list of
+    ([R|t], inlier_indices) aligned with the inputs."""
+    results = robust.ransac_absolute_pose_batched(
+        bs_list, Xs_list, threshold, iterations
+    )
+    out = []
+    for res in results:
+        if res.model is None:
+            out.append((np.hstack([np.eye(3), np.zeros((3, 1))]),
+                        np.zeros(0, dtype=np.int64)))
+        else:
+            out.append((np.asarray(res.model), res.inliers_indices))
+    return out
+
+
 def absolute_pose_known_rotation_ransac(
     bs, Xs, threshold: float, iterations: int, probability: float = 0.999
 ) -> np.ndarray:

@@ -1399,8 +1399,11 @@ def bundle_adjust_sharded(
     accepted = 0
     rejects = 0
     trials = 0
+    from opensfm_tpu.context import record_dispatch
+
     while accepted < max_iterations and trials < 16 * max_iterations:
         trials += 1
+        record_dispatch("cg_trial", 2)  # step + cost programs
         a["lam"] = jnp.asarray(lam, dtype=a["points"].dtype)
         trial = dict(zip(state_keys, step(*(a[k] for k in step_names))))
         saved = {k: a[k] for k in state_keys}

@@ -28,7 +28,7 @@ from typing import Any, Dict, List, Optional, Set, Tuple
 
 import numpy as np
 
-from opensfm_tpu import multiview, pymap, rig, tracking, types
+from opensfm_tpu import context, multiview, pymap, rig, tracking, types
 from opensfm_tpu.align import align_reconstruction, apply_similarity
 from opensfm_tpu.ba import problem as ba_problem
 from opensfm_tpu.geometry.pose import Pose
@@ -382,26 +382,30 @@ def reconstructed_points_for_images(tracks_manager, reconstruction, images):
     return sorted(res.items(), key=lambda x: -x[1])
 
 
-def resect(data, tracks_manager, reconstruction, shot_id, threshold, min_inliers):
-    """P3P-RANSAC a new shot against reconstructed points
-    (reconstruction.py:695-762)."""
-    rig_assignments = rig.rig_assignments_per_image(data.load_rig_assignments())
+def _resect_gather(data, tracks_manager, reconstruction, shot_id):
+    """Host-side correspondence gather for one resection candidate:
+    (bearings, Xs, track_ids) or None when < 5 common points."""
     camera = reconstruction.cameras[data.load_exif(shot_id)["camera"]]
-
-    bs, Xs, ids, pts2d = [], [], [], []
+    Xs, ids, pts2d = [], [], []
     for track, obs in tracks_manager.get_shot_observations(shot_id).items():
         if track in reconstruction.points:
             pts2d.append(obs.point)
             Xs.append(reconstruction.points[track].coordinates)
             ids.append(track)
     if len(pts2d) < 5:
-        return False, set(), {"num_common_points": len(pts2d)}
+        return None, len(pts2d)
     bs = camera.bearings_many(np.asarray(pts2d))
-    Xs = np.asarray(Xs)
+    return (bs, np.asarray(Xs), ids), len(pts2d)
 
-    T = multiview.absolute_pose_ransac(bs, Xs, threshold, 1000, 0.999)
+
+def _resect_finalize(
+    data, tracks_manager, reconstruction, shot_id, T, bs, Xs, ids,
+    threshold, min_inliers, rig_assignments,
+):
+    """Accept/reject one candidate from its RANSAC pose and, on accept,
+    add the shot(s) + inlier observations (the tail of reconstruction.py
+    :695-762)."""
     R, t = T[:, :3], T[:, 3]
-
     reprojected_bs = (Xs @ R.T + t)
     reprojected_bs /= np.linalg.norm(reprojected_bs, axis=1)[:, None]
     inliers = np.linalg.norm(reprojected_bs - bs, axis=1) < threshold
@@ -425,6 +429,68 @@ def resect(data, tracks_manager, reconstruction, shot_id, threshold, min_inliers
             )
     report["shots"] = list(new_shots)
     return True, new_shots, report
+
+
+def resect(data, tracks_manager, reconstruction, shot_id, threshold, min_inliers):
+    """P3P-RANSAC a new shot against reconstructed points
+    (reconstruction.py:695-762)."""
+    rig_assignments = rig.rig_assignments_per_image(data.load_rig_assignments())
+    gathered, n_common = _resect_gather(
+        data, tracks_manager, reconstruction, shot_id
+    )
+    if gathered is None:
+        return False, set(), {"num_common_points": n_common}
+    bs, Xs, ids = gathered
+    T = multiview.absolute_pose_ransac(bs, Xs, threshold, 1000, 0.999)
+    return _resect_finalize(
+        data, tracks_manager, reconstruction, shot_id, T, bs, Xs, ids,
+        threshold, min_inliers, rig_assignments,
+    )
+
+
+def resect_candidates_batched(
+    data, tracks_manager, reconstruction, shot_ids, threshold, min_inliers,
+):
+    """Try a ROUND of resection candidates with ONE batched P3P-RANSAC
+    dispatch and accept the FIRST candidate with enough inliers — same
+    accept decision as the sequential walk (a failed candidate leaves the
+    reconstruction untouched, so later candidates see identical state),
+    at 1/B of the device dispatches (SURVEY §7.3's mitigation for the
+    growth loop's serial resection; VERDICT r3 item 4).
+
+    Returns (ok, new_shots, report, accepted_shot_id)."""
+    rig_assignments = rig.rig_assignments_per_image(data.load_rig_assignments())
+    gathered = {}
+    reports = {}
+    for shot_id in shot_ids:
+        g, n_common = _resect_gather(
+            data, tracks_manager, reconstruction, shot_id
+        )
+        if g is None:
+            reports[shot_id] = {"num_common_points": n_common}
+        else:
+            gathered[shot_id] = g
+    runnable = [s for s in shot_ids if s in gathered]
+    if not runnable:
+        return False, set(), reports, None
+    results = multiview.absolute_pose_ransac_batched(
+        [gathered[s][0] for s in runnable],
+        [gathered[s][1] for s in runnable],
+        threshold, 1000, 0.999,
+    )
+    poses = dict(zip(runnable, (T for T, _ in results)))
+    for shot_id in shot_ids:
+        if shot_id not in gathered:
+            continue
+        bs, Xs, ids = gathered[shot_id]
+        ok, new_shots, report = _resect_finalize(
+            data, tracks_manager, reconstruction, shot_id, poses[shot_id],
+            bs, Xs, ids, threshold, min_inliers, rig_assignments,
+        )
+        reports[shot_id] = report
+        if ok:
+            return True, new_shots, reports, shot_id
+    return False, set(), reports, None
 
 
 def _pose_from_Rt(R, t) -> Pose:
@@ -485,6 +551,7 @@ def _batched_triangulate_arrays(origins, bearings, mask, thresholds, min_angle,
     global _TRIANGULATE_KERNEL
     if _TRIANGULATE_KERNEL is None:
         _TRIANGULATE_KERNEL = _make_triangulate_kernel()
+    context.record_dispatch("triangulate")
     ok, X = _TRIANGULATE_KERNEL(
         origins, bearings, mask, thresholds, float(min_angle), float(min_depth),
         int(iterations),
@@ -881,6 +948,46 @@ def _copy_reconstruction(rec):
     return out
 
 
+def _reresect_shots(r, shot_ids, tracks_manager, data, config):
+    """Re-estimate the poses of `shot_ids` against the CURRENT point set
+    with P3P-RANSAC, keeping a new pose only when it explains at least as
+    many observations as the existing one (post-merge refinement: bridge
+    shots resected against a thin pre-merge model can sit in a slightly
+    wrong basin that the robust bundle alone will not leave — VERDICT r3
+    weak #9).  Shots in multi-shot rig instances are skipped (their pose
+    is the instance's)."""
+    threshold = config["resection_threshold"]
+    improved = 0
+    for shot_id in shot_ids:
+        shot = r.shots.get(shot_id)
+        if shot is None:
+            continue
+        if len(shot.rig_instance.shots) > 1:
+            continue
+        gathered, _ = _resect_gather(data, tracks_manager, r, shot_id)
+        if gathered is None:
+            continue
+        bs, Xs, ids = gathered
+
+        def ninl(R, t):
+            pr = Xs @ R.T + t
+            pr = pr / np.maximum(
+                np.linalg.norm(pr, axis=1, keepdims=True), 1e-12
+            )
+            return int((np.linalg.norm(pr - bs, axis=1) < threshold).sum())
+
+        cur_pose = shot.pose
+        cur = ninl(cur_pose.get_rotation_matrix(), cur_pose.translation)
+        T = multiview.absolute_pose_ransac(bs, Xs, threshold, 1000, 0.999)
+        new = ninl(T[:, :3], T[:, 3])
+        if new > cur:
+            shot.pose = _pose_from_Rt(T[:, :3], T[:, 3])
+            improved += 1
+    if improved:
+        logger.info("Post-merge re-resection improved %d shot poses", improved)
+    return improved
+
+
 def merge_two_reconstructions(r1, r2, config, threshold=1.0,
                               tracks_manager=None, data=None, gcp=None):
     """Merge two reconstructions with common track ids
@@ -981,6 +1088,22 @@ def merge_two_reconstructions(r1, r2, config, threshold=1.0,
                 "Seeded merge accepted (%s seed): %d shots, %d points",
                 seed_name, len(r.shots), len(r.points),
             )
+            # Post-merge refinement: re-resect the SMALLER part's shots
+            # against the full merged point set (their pre-merge poses
+            # came from a thin model), then settle with two more
+            # retriangulate+bundle rounds.  Closes most of the gap
+            # between the merged geometry and the full-resolution golden.
+            part2_shots = set(r.shots) - part1_shots
+            small = (
+                part1_shots if len(part1_shots) <= len(part2_shots)
+                else part2_shots
+            )
+            if _reresect_shots(r, small, tracks_manager, data, config):
+                for _ in range(2):
+                    retriangulate(tracks_manager, r, config)
+                    align_reconstruction(r, gcp, config)
+                    bundle(r, camera_priors, rig_camera_priors, gcp, config)
+                    remove_outliers(r, config)
             return [r]
         logger.info(
             "Seeded merge (%s seed) rejected: only %d cross-part points",
@@ -1110,57 +1233,78 @@ def grow_reconstruction(data, tracks_manager, reconstruction, images, gcp):
 
         threshold = config["resection_threshold"]
         min_inliers = config["resection_min_inliers"]
-        for image, _ in candidates:
-            ok, new_shots, resrep = resect(
-                data, tracks_manager, reconstruction, image, threshold, min_inliers
-            )
-            if not ok:
-                continue
-            images -= new_shots
-            bundle_shot_poses(
-                reconstruction, new_shots, camera_priors, rig_camera_priors, config
-            )
-            logger.info("Adding %s to the reconstruction", " and ".join(new_shots))
-            step: Dict[str, Any] = {"images": list(new_shots), "resection": resrep}
-            report["steps"].append(step)
-
-            np_before = len(reconstruction.points)
-            triangulate_shot_features(tracks_manager, reconstruction, new_shots, config)
-            step["triangulated_points"] = len(reconstruction.points) - np_before
-
-            if should_retriangulate.should():
-                logger.info("Re-triangulating")
-                align_reconstruction(reconstruction, gcp, config)
-                step["bundle"] = bundle(
-                    reconstruction, camera_priors, rig_camera_priors, None, config
+        # Candidate resections run in per-round batches: one device
+        # dispatch covers `resection_batch_size` P3P-RANSAC problems
+        # (SURVEY §7.3; set to 1 for the sequential reference walk).
+        batch = int(config.get("resection_batch_size", 8))
+        accepted = None
+        if batch > 1:
+            for i0 in range(0, len(candidates), batch):
+                chunk = [im for im, _ in candidates[i0:i0 + batch]]
+                ok, new_shots, chunk_reports, image = (
+                    resect_candidates_batched(
+                        data, tracks_manager, reconstruction, chunk,
+                        threshold, min_inliers,
+                    )
                 )
-                step["retriangulation"] = retriangulate(
-                    tracks_manager, reconstruction, config
-                )
-                step["bundle_after_retriangulation"] = bundle(
-                    reconstruction, camera_priors, rig_camera_priors, None, config
-                )
-                remove_outliers(reconstruction, config)
-                should_retriangulate.done()
-                should_bundle.done()
-            elif should_bundle.should():
-                align_reconstruction(reconstruction, gcp, config)
-                step["bundle"] = bundle(
-                    reconstruction, camera_priors, rig_camera_priors, None, config
-                )
-                remove_outliers(reconstruction, config)
-                should_bundle.done()
-            elif config["local_bundle_radius"] > 0:
-                bundled_points, brep = bundle_local(
-                    reconstruction, camera_priors, rig_camera_priors, None, image,
-                    config,
-                )
-                remove_outliers(reconstruction, config, bundled_points)
-                step["local_bundle"] = brep
-            break
+                if ok:
+                    accepted = (image, new_shots, chunk_reports[image])
+                    break
         else:
+            for image, _ in candidates:
+                ok, new_shots, resrep = resect(
+                    data, tracks_manager, reconstruction, image, threshold,
+                    min_inliers,
+                )
+                if ok:
+                    accepted = (image, new_shots, resrep)
+                    break
+        if accepted is None:
             logger.info("Some images can not be added")
             break
+        image, new_shots, resrep = accepted
+
+        images -= new_shots
+        bundle_shot_poses(
+            reconstruction, new_shots, camera_priors, rig_camera_priors, config
+        )
+        logger.info("Adding %s to the reconstruction", " and ".join(new_shots))
+        step: Dict[str, Any] = {"images": list(new_shots), "resection": resrep}
+        report["steps"].append(step)
+
+        np_before = len(reconstruction.points)
+        triangulate_shot_features(tracks_manager, reconstruction, new_shots, config)
+        step["triangulated_points"] = len(reconstruction.points) - np_before
+
+        if should_retriangulate.should():
+            logger.info("Re-triangulating")
+            align_reconstruction(reconstruction, gcp, config)
+            step["bundle"] = bundle(
+                reconstruction, camera_priors, rig_camera_priors, None, config
+            )
+            step["retriangulation"] = retriangulate(
+                tracks_manager, reconstruction, config
+            )
+            step["bundle_after_retriangulation"] = bundle(
+                reconstruction, camera_priors, rig_camera_priors, None, config
+            )
+            remove_outliers(reconstruction, config)
+            should_retriangulate.done()
+            should_bundle.done()
+        elif should_bundle.should():
+            align_reconstruction(reconstruction, gcp, config)
+            step["bundle"] = bundle(
+                reconstruction, camera_priors, rig_camera_priors, None, config
+            )
+            remove_outliers(reconstruction, config)
+            should_bundle.done()
+        elif config["local_bundle_radius"] > 0:
+            bundled_points, brep = bundle_local(
+                reconstruction, camera_priors, rig_camera_priors, None, image,
+                config,
+            )
+            remove_outliers(reconstruction, config, bundled_points)
+            step["local_bundle"] = brep
 
     align_result = align_reconstruction(
         reconstruction, gcp, config, bias_override=True

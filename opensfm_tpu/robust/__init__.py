@@ -11,6 +11,7 @@ seeds.
 from opensfm_tpu.robust.ransac import (  # noqa: F401
     RansacResult,
     ransac_absolute_pose,
+    ransac_absolute_pose_batched,
     ransac_absolute_pose_known_rotation,
     ransac_essential,
     ransac_fundamental,

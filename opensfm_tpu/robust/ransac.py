@@ -139,6 +139,9 @@ def _run(
     mask: Optional[np.ndarray] = None,
 ) -> RansacResult:
     """Host wrapper: validate sizes, run the jitted core, unpack to numpy."""
+    from opensfm_tpu.context import record_dispatch
+
+    record_dispatch("ransac")
     n = len(d1)
     if d2 is None:
         d2 = d1
@@ -290,6 +293,72 @@ def ransac_absolute_pose(
         _abspose_core, np.asarray(bearings), np.asarray(points),
         1.0 - np.cos(threshold), iterations, 3, seed, mask,
     )
+
+
+@partial(jax.jit, static_argnames=("num_hypotheses",))
+def _abspose_core_batched(keys, d1, d2, threshold, masks, num_hypotheses):
+    return jax.vmap(
+        lambda k, a, b, m: _abspose_core(k, a, b, threshold, m, num_hypotheses)
+    )(keys, d1, d2, masks)
+
+
+def ransac_absolute_pose_batched(
+    bearings_list, points_list, threshold: float, iterations: int = 1000,
+    seed: int = 42,
+):
+    """P3P absolute pose RANSAC for SEVERAL independent candidate problems
+    in ONE device program (the growth loop's per-round candidate batch,
+    SURVEY §7.3 mitigation): each candidate's full LO-RANSAC runs under a
+    vmap, so a round that tries B resection candidates costs one dispatch
+    instead of B — the dominant saving on a tunneled TPU where dispatch
+    latency, not P3P math, bounds `reconstruct`.
+
+    Returns a list of RansacResult (empty result where a candidate has
+    fewer than the minimal sample count)."""
+    from opensfm_tpu.context import record_dispatch
+
+    B = len(bearings_list)
+    results = [RansacResult() for _ in range(B)]
+    sizes = [len(b) for b in bearings_list]
+    runnable = [i for i in range(B) if sizes[i] >= 3]
+    if not runnable:
+        return results
+    record_dispatch("ransac")
+    n_pad = max(64, 1 << int(max(sizes[i] for i in runnable) - 1).bit_length())
+
+    def pad(a):
+        a = np.asarray(a, dtype=np.float64)
+        if len(a) < n_pad:
+            a = np.concatenate([a, np.repeat(a[:1], n_pad - len(a), axis=0)])
+        return a
+
+    d1 = np.stack([pad(bearings_list[i]) for i in runnable])
+    d2 = np.stack([pad(points_list[i]) for i in runnable])
+    masks = np.zeros((len(runnable), n_pad), dtype=bool)
+    for row, i in enumerate(runnable):
+        masks[row, : sizes[i]] = True
+    # Same key per candidate as the sequential path would use (each
+    # candidate has different data, so the draws decorrelate anyway).
+    keys = jnp.stack([jax.random.PRNGKey(seed)] * len(runnable))
+    k = int(max(iterations, 64))
+    models, costs, inliers = _abspose_core_batched(
+        keys, jnp.asarray(d1), jnp.asarray(d2),
+        jnp.asarray(1.0 - np.cos(threshold), dtype=d1.dtype),
+        jnp.asarray(masks), k,
+    )
+    models = jax.tree.map(np.asarray, models)
+    costs = np.asarray(costs)
+    inliers = np.asarray(inliers)
+    for row, i in enumerate(runnable):
+        inl = np.flatnonzero(inliers[row][: sizes[i]])
+        res = RansacResult(
+            model=jax.tree.map(lambda m: m[row], models),
+            inliers_indices=inl,
+            score=1.0 / (float(costs[row]) + 1e-8),
+        )
+        res.lo_model = res.model
+        results[i] = res
+    return results
 
 
 def _make_abspose_kr_core():

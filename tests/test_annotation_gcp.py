@@ -136,3 +136,45 @@ def test_model_payload_requires_reconstruction(tmp_path):
     from annotation_gui_gcp.main import load_model_payload
 
     assert "error" in load_model_payload(str(tmp_path))
+
+
+def test_visible_points_and_track_navigation(tmp_path):
+    """Per-image point overlay payload + track-level image list (reference
+    image_view.py sync_to_client:78-100 and the jump-through-track flow)."""
+    from annotation_gui_gcp.main import (
+        point_color,
+        point_images,
+        visible_points,
+    )
+
+    m = GroundControlPointManager(str(tmp_path))
+    m.add_point("p1")
+    m.add_point("p2")
+    m.add_point_observation("p1", "im1", [0.1, 0.2])
+    m.add_point_observation("p1", "im2", [0.3, 0.4])
+    m.add_point_observation("p2", "im1", [0.5, 0.6])
+
+    vis = visible_points(m, "im1")
+    assert set(vis) == {"p1", "p2"}
+    assert vis["p1"]["projection"] == [0.1, 0.2]
+    assert vis["p1"]["color"] == point_color("p1")
+    assert vis["p1"]["color"].startswith("#")
+
+    assert point_images(m, "p1") == ["im1", "im2"]
+    assert point_images(m, "p2") == ["im1"]
+    assert point_images(m, "absent") == []
+
+
+def test_run_ba_analysis_modes(tmp_path):
+    """The tools pane's rigid/flex/full dispatch reaches run_ba.align with
+    the right behavior switches (reference GUI.py:103-134)."""
+    import inspect
+
+    from annotation_gui_gcp.run_ba import align, bundle_with_fixed_images
+
+    sig = inspect.signature(align)
+    assert "mode" in sig.parameters
+    assert sig.parameters["mode"].default == "full"
+    assert "covariance" in inspect.signature(
+        bundle_with_fixed_images
+    ).parameters
