@@ -190,12 +190,22 @@ def make_ba_lane(jax, jnp, n_shots=64, n_points=8192, trials=20):
 
 
 def _trial_flops(counts, c_slot):
-    """Model FLOPs of one trial: the S_II Schur contraction (exact), the
-    per-observation-slot work (coefficient calibrated against XLA's count
-    at the small lane), and the reduced Cholesky solve."""
+    """EXECUTED FLOPs of one trial: the S_II Schur contraction (exact —
+    scaled by the fraction of lower-triangular column tiles the symmetric
+    kernel actually runs on the MXU), the per-observation-slot work
+    (coefficient calibrated against XLA's count at the small lane), and
+    the reduced Cholesky solve.  Counting executed rather than
+    dense-square flops keeps MFU <= 1 by construction (the r3 artifact
+    shipped MFU 1.037 by crediting skipped work)."""
+    from opensfm_tpu.ops.pallas_kernels.ba_assemble import _sym_tile
+
     ni, npts, pmax = counts["ni"], counts["npts"], counts["pmax"]
+    ni6 = 6 * ni
+    T = ni6 // _sym_tile(ni6)
+    frac = (T + 1) / (2.0 * T)
     D = 6 * ni + pmax
-    return npts * ni * ni * 216.0 + counts["obs"] * c_slot + D ** 3 / 3.0
+    return (npts * ni * ni * 216.0 * frac + counts["obs"] * c_slot
+            + D ** 3 / 3.0)
 
 
 def calibrate_flops(counts_small, timeout=1500):
@@ -449,6 +459,21 @@ def main() -> None:
     import jax.numpy as jnp
 
     extra = {}
+    # Global deadline: the driver gives the bench a bounded window; the
+    # cheap, headline lanes run first and each optional heavy lane checks
+    # the remaining budget before starting (skipped lanes are recorded).
+    t_bench0 = time.time()
+    budget_total = float(os.environ.get("BENCH_BUDGET_S", "3300"))
+
+    def remaining() -> float:
+        return budget_total - (time.time() - t_bench0)
+
+    def skip(name: str, need_s: float) -> bool:
+        if remaining() < need_s:
+            extra[name] = f"skipped_budget (needs ~{int(need_s)}s, " \
+                          f"{int(remaining())}s left)"
+            return True
+        return False
 
     # Build both lanes first (compile outside the timed region), then run
     # them INTERLEAVED with the matmul-peak calibration 3x.
@@ -462,7 +487,7 @@ def main() -> None:
         run_large, counts_large = None, None
 
     peaks, rates_small, rates_large = [], [], []
-    for rep in range(3):
+    for rep in range(5):
         try:
             peaks.append(measure_matmul_peak(jax, jnp))
         except Exception as e:  # pragma: no cover
@@ -543,48 +568,59 @@ def main() -> None:
     except Exception as e:  # pragma: no cover
         print(f"matching bench failed: {e}", file=sys.stderr)
 
-    try:
-        # Multi-device CG-path scaling lanes on the CPU mesh (subprocess;
-        # the TPU process keeps its platform): partition overhead,
-        # 2-process jax.distributed strong scaling, psum payloads.
-        extra["cpu_mesh_scaling"] = _subprocess_lane(
-            "bench_scaling.py", ["8"], 1800
-        )
-    except Exception as e:  # pragma: no cover
-        print(f"scaling bench failed: {e}", file=sys.stderr)
+    if not skip("cpu_mesh_scaling", 500):
+        try:
+            # Multi-device CG-path scaling lanes on the CPU mesh
+            # (subprocess; the TPU process keeps its platform): partition
+            # overhead, 2-process jax.distributed strong scaling, psum
+            # payloads.
+            extra["cpu_mesh_scaling"] = _subprocess_lane(
+                "bench_scaling.py", ["8"], min(1800, remaining())
+            )
+        except Exception as e:  # pragma: no cover
+            print(f"scaling bench failed: {e}", file=sys.stderr)
 
-    try:
-        # Extra-large lane past the dense ceiling: >=2048 shots / >=256k
-        # points / >=10M obs on the 8-device CPU mesh (VERDICT r3 item 2).
-        extra["scale_xl"] = _subprocess_lane("bench_scale_xl.py", [], 3000)
-    except Exception as e:  # pragma: no cover
-        print(f"scale_xl bench failed: {e}", file=sys.stderr)
+    if not skip("scale_xl", 700):
+        try:
+            # Extra-large lane past the dense ceiling: >=2048 shots /
+            # >=256k points / >=10M obs on the 8-device CPU mesh
+            # (VERDICT r3 item 2).
+            extra["scale_xl"] = _subprocess_lane(
+                "bench_scale_xl.py", [], min(3000, remaining())
+            )
+        except Exception as e:  # pragma: no cover
+            print(f"scale_xl bench failed: {e}", file=sys.stderr)
 
-    try:
-        # End-to-end wall-clock lane: berlin per stage, CPU backend
-        # (subprocess so the main process keeps its platform).
-        extra["e2e_berlin_stage_seconds"] = _subprocess_lane(
-            "bench_e2e.py", [], 1200
-        )
-    except Exception as e:  # pragma: no cover
-        print(f"e2e bench failed: {e}", file=sys.stderr)
+    if not skip("e2e_berlin_stage_seconds", 300):
+        try:
+            # End-to-end wall-clock lane: berlin per stage, CPU backend
+            # (subprocess so the main process keeps its platform).
+            extra["e2e_berlin_stage_seconds"] = _subprocess_lane(
+                "bench_e2e.py", [], min(1200, remaining())
+            )
+        except Exception as e:  # pragma: no cover
+            print(f"e2e bench failed: {e}", file=sys.stderr)
 
     # TPU-backend e2e lanes LAST (they flip x64 on in-process).
-    try:
-        extra["e2e_berlin_tpu"] = bench_e2e_device(
-            "berlin", "compute_depthmaps", budget_s=1200
-        )
-    except Exception as e:  # pragma: no cover
-        print(f"TPU e2e berlin failed: {e}", file=sys.stderr)
-    try:
-        # lund through reconstruct (29 images; dense on a tunneled chip
-        # would blow the bench budget — recorded stages are the growth
-        # loop evidence the VERDICT asks for).
-        extra["e2e_lund_tpu"] = bench_e2e_device(
-            "lund", "reconstruct", budget_s=1500
-        )
-    except Exception as e:  # pragma: no cover
-        print(f"TPU e2e lund failed: {e}", file=sys.stderr)
+    if not skip("e2e_berlin_tpu", 200):
+        try:
+            extra["e2e_berlin_tpu"] = bench_e2e_device(
+                "berlin", "compute_depthmaps",
+                budget_s=min(1200, remaining()),
+            )
+        except Exception as e:  # pragma: no cover
+            print(f"TPU e2e berlin failed: {e}", file=sys.stderr)
+    if not skip("e2e_lund_tpu", 300):
+        try:
+            # lund through reconstruct (29 images; dense on a tunneled
+            # chip would blow the bench budget — recorded stages are the
+            # growth loop evidence the VERDICT asks for).
+            extra["e2e_lund_tpu"] = bench_e2e_device(
+                "lund", "reconstruct", budget_s=min(1500, remaining())
+            )
+        except Exception as e:  # pragma: no cover
+            print(f"TPU e2e lund failed: {e}", file=sys.stderr)
+    extra["bench_wall_s"] = round(time.time() - t_bench0, 1)
 
     ceres_cpu_estimate = 1.0  # LM iter/s, Ceres SPARSE_SCHUR, workstation CPU
     print(

@@ -67,11 +67,11 @@ CG_ITERS = 30
 # ICI model constants for the predicted multi-chip communication fraction:
 # one bidirectional v5e ICI link sustains ~45 GB/susable each way; a ring
 # all-reduce moves ~2 * payload bytes per device, plus ~5 us launch latency
-# per collective (two psums per CG iteration: the [NI,6] and [NC,P]
-# families).
+# per collective (ONE fused tuple-psum per CG iteration carries all block
+# families since round 4).
 ICI_BYTES_PER_S = 45e9
 COLLECTIVE_LATENCY_S = 5e-6
-PSUMS_PER_CG_ITER = 2
+PSUMS_PER_CG_ITER = 1
 
 _BASE = _make_problem(
     n_shots=N_SHOTS, n_points=N_POINTS, seed=0, track_window=TRACK_LEN

@@ -68,6 +68,21 @@ def _sym3_inv(h_xx, h_xy, h_xz, h_yy, h_yz, h_zz):
             c_yy * inv_det, c_yz * inv_det, c_zz * inv_det)
 
 
+def _sym_tile(ni6: int) -> int:
+    """Column-tile width for the triangular S_II product.  Must divide
+    6*ni and be a lane multiple: the executed fraction of the full square
+    is (T+1)/2T for T = ni6/tile, so smaller tiles skip more of the
+    (symmetric) upper triangle at the cost of more matmul issues.  ni is
+    a power of two >= 64 on the product path, so ni6 is a multiple of
+    384; tiny (test) problems fall back to one full tile — lane slices
+    must stay 128-aligned anyway."""
+    if ni6 % 256 == 0:
+        return 256
+    if ni6 % 128 == 0:
+        return 128
+    return ni6
+
+
 def _make_kernel(loss: str, loss_threshold: float, ni: int, n_blocks: int,
                  emit_obs: bool = True):
     from opensfm_tpu.ba.lm import LOSSES
@@ -90,10 +105,10 @@ def _make_kernel(loss: str, loss_threshold: float, ni: int, n_blocks: int,
     ):
         if emit_obs:
             (out_obs_ref, out_pt_ref, out_sII_ref, out_aux_ref,
-             sII_acc, aux_acc, cat_a, cat_g) = refs
+             sII_acc, aux_acc, cat_b) = refs
         else:
             (out_pt_ref, out_sII_ref, out_aux_ref,
-             sII_acc, aux_acc, cat_a, cat_g) = refs
+             sII_acc, aux_acc, cat_b) = refs
             out_obs_ref = None
         step = pl.program_id(0)
 
@@ -190,11 +205,28 @@ def _make_kernel(loss: str, loss_threshold: float, ni: int, n_blocks: int,
         out_pt_ref[:, 12:16] = jnp.zeros_like(out_pt_ref[:, 12:16])
 
         # ---- i-family couplings -------------------------------------------
-        # Ga[x][j] = sum_k Ji_kx Jp_kj per obs; Aa = Ga Hinv per point.
+        # Ga[x][j] = sum_k Ji_kx Jp_kj per obs.
         Ga = [[J0[x] * Jp0[j] + J1[x] * Jp1[j] for j in range(3)]
               for x in range(6)]
-        Aa = [[sum(Ga[x][j] * hinv[(j, k)] for j in range(3))
-               for k in range(3)] for x in range(6)]
+        # Closed-form Cholesky Hinv = L L' (per point, [PB,1] entries).
+        # S_II = sum_p Ga Hinv Ga' = sum_p B B' with B = Ga L is then
+        # symmetric BY CONSTRUCTION, so only the lower-triangular column
+        # tiles of the big product need to be executed on the MXU — the
+        # wrapper mirrors them back ((T+1)/2T of the square's FLOPs,
+        # ~0.58 at the 256-instance lane).
+        tiny = 1e-30
+        l00 = jnp.sqrt(jnp.maximum(hi[0], 0.0))
+        il00 = jnp.where(l00 > tiny, 1.0 / jnp.maximum(l00, tiny), 0.0)
+        l10 = hi[1] * il00
+        l20 = hi[2] * il00
+        l11 = jnp.sqrt(jnp.maximum(hi[3] - l10 * l10, 0.0))
+        il11 = jnp.where(l11 > tiny, 1.0 / jnp.maximum(l11, tiny), 0.0)
+        l21 = (hi[4] - l20 * l10) * il11
+        l22 = jnp.sqrt(jnp.maximum(hi[5] - l20 * l20 - l21 * l21, 0.0))
+        L = {(0, 0): l00, (1, 0): l10, (2, 0): l20,
+             (1, 1): l11, (2, 1): l21, (2, 2): l22}
+        B = [[sum(Ga[x][j] * L[(j, k)] for j in range(k, 3))
+              for k in range(3)] for x in range(6)]
         # c-family per point: Vg[y][j] = sum_{k,t} Jc_ky Jp_kj  -> [PB,1]
         Jc0 = J0[6:9]
         Jc1 = J1[6:9]
@@ -202,17 +234,30 @@ def _make_kernel(loss: str, loss_threshold: float, ni: int, n_blocks: int,
               for y in range(3)]
         Ug = [[sum(Vg[y][j] * hinv[(j, k)] for j in range(3))
                for k in range(3)] for y in range(3)]
+        # Cg = Vg L  (so schur_IC = sum_k B_xk Cg_yk below).
+        Cg = [[sum(Vg[y][j] * L[(j, k)] for j in range(k, 3))
+               for k in range(3)] for y in range(3)]
 
-        # ---- Schur II via per-k matmuls ------------------------------------
-        # cat_a/cat_g: [PB, 6*NI], lane block x holds A/G_xk.
+        # ---- Schur II: triangular-tiled symmetric product ------------------
+        # cat_b: [PB, 6*NI], lane block x holds B_xk; the per-k structure
+        # (build cat on the VPU, then issue this k's matmuls) lets Mosaic
+        # overlap the MXU dots of one k with the VPU cat-build of the
+        # next.  Only column tiles r >= c are computed.
+        ts = _sym_tile(ni6)
         for k in range(3):
             for x in range(6):
-                cat_a[:, x * ni:(x + 1) * ni] = Aa[x][k]
-                cat_g[:, x * ni:(x + 1) * ni] = Ga[x][k]
-            sII_acc[:] = sII_acc[:] + jax.lax.dot_general(
-                cat_a[:], cat_g[:], dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+                cat_b[:, x * ni:(x + 1) * ni] = B[x][k]
+            for r in range(ni6 // ts):
+                for c in range(r + 1):
+                    sII_acc[r * ts:(r + 1) * ts, c * ts:(c + 1) * ts] = (
+                        sII_acc[r * ts:(r + 1) * ts, c * ts:(c + 1) * ts]
+                        + jax.lax.dot_general(
+                            cat_b[:, r * ts:(r + 1) * ts],
+                            cat_b[:, c * ts:(c + 1) * ts],
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                    )
 
         # ---- direct + RHS partials (aux rows, [*, NI]) ---------------------
         def lsum(x):
@@ -235,12 +280,13 @@ def _make_kernel(loss: str, loss_threshold: float, ni: int, n_blocks: int,
             for y in range(x, 3):
                 aux[idx:idx + 1, :] += lsum(Jc0[x] * Jc0[y] + Jc1[x] * Jc1[y])
                 idx += 1
-        # rows 60-77: schur_IC (x*3+y) = sum_{p,k} Aa_xk Vg_yk (lane partials)
+        # rows 60-77: schur_IC (x*3+y) = sum_{p,k} Ga_x Hinv Vg_y
+        #           = sum_{p,k} B_xk Cg_yk (lane partials)
         for x in range(6):
             for y in range(3):
                 acc = None
                 for k in range(3):
-                    t = Aa[x][k] * Vg[y][k]
+                    t = B[x][k] * Cg[y][k]
                     acc = t if acc is None else acc + t
                 aux[60 + x * 3 + y:61 + x * 3 + y, :] += lsum(acc)
         # rows 78-83: b_i = sum_p [ Ji'r  -  Ga Hib ]
@@ -598,7 +644,6 @@ def fused_schur_assembly(
             pltpu.VMEM((ni6, ni6), dtype),
             pltpu.VMEM((96, ni), dtype),
             pltpu.VMEM((PB, ni6), dtype),
-            pltpu.VMEM((PB, ni6), dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -612,6 +657,16 @@ def fused_schur_assembly(
     )(u, v, isd, xr[0], xr[1], xr[2], inst_t, cam_row,
       optp, ppr[:, 0:1], ppr[:, 1:2], ppr[:, 2:3],
       ppw[:, 0:1], ppw[:, 1:2], ppw[:, 2:3])
+    out = list(out)
+    # The kernel executes only the lower-triangular column tiles of the
+    # symmetric S_II product (B B' form) — mirror the skipped tiles.
+    sII_idx = len(out) - 2
+    sII = out[sII_idx]
+    ts = _sym_tile(ni6)
+    tile_of = jax.lax.broadcasted_iota(jnp.int32, (ni6, ni6), 0) // ts
+    tile_of_c = jax.lax.broadcasted_iota(jnp.int32, (ni6, ni6), 1) // ts
+    out[sII_idx] = jnp.where(tile_of < tile_of_c, sII.T, sII)
+    out = tuple(out)
     if not emit_obs_rows:
         return (None,) + tuple(out)
     return out

@@ -844,10 +844,8 @@ def make_sharded_cg_lm_step(
                     jnp.einsum("kmi,km->ki", Jr_m, r_u), idx_r,
                     num_segments=nr,
                 ) / n_dev
-        b_i = jax.lax.psum(b_i, axis)
-        b_c = jax.lax.psum(b_c, axis)
-        if rig_opt:
-            b_r = jax.lax.psum(b_r, axis)
+        # (b psums fused with the preconditioner-block psum below — one
+        # setup collective per LM step.)
 
         # --- block-Jacobi preconditioner + damping diagonals ---------------
         G_i = jnp.einsum("oki,okj->oij", Ji, Jp)  # [O,K_i=6,3]
@@ -864,7 +862,7 @@ def make_sharded_cg_lm_step(
                 jnp.einsum("kmi,kmj->kij", Ji_u, Ji_u), idx_i,
                 num_segments=ni,
             ) / n_dev
-        M_i = jax.lax.psum(direct_i - schur_i + extra_i, axis)
+        M_i = direct_i - schur_i + extra_i
         # Camera blocks: a camera sees each point through MANY observations
         # (one per shot), so the exact Schur diagonal needs the per-point
         # aggregate W_cp = sum_{o in p} G_o before the quadratic form — a
@@ -882,7 +880,7 @@ def make_sharded_cg_lm_step(
         schur_c = jnp.einsum(
             "pcij,pjk,pclk->cil", W_c, Hpp_inv, W_c
         )
-        M_c = jax.lax.psum(direct_c - schur_c + cprior_blocks, axis)
+        M_c = direct_c - schur_c + cprior_blocks
         if rig_opt:
             # Rig camera blocks need the same per-(point, rigcam)
             # aggregation as cameras: one rig camera observes a point from
@@ -904,7 +902,12 @@ def make_sharded_cg_lm_step(
                         jnp.einsum("kmi,kmj->kij", Jr_m, Jr_m), idx_r,
                         num_segments=nr,
                     ) / n_dev
-            M_r = jax.lax.psum(direct_r - schur_r + extra_r, axis)
+            M_r = direct_r - schur_r + extra_r
+            b_i, b_c, b_r, M_i, M_c, M_r = jax.lax.psum(
+                (b_i, b_c, b_r, M_i, M_c, M_r), axis
+            )
+        else:
+            b_i, b_c, M_i, M_c = jax.lax.psum((b_i, b_c, M_i, M_c), axis)
 
         # Marquardt damping on the (clamped) diagonal, Ceres-style.
         diag_i = jnp.clip(
@@ -976,11 +979,17 @@ def make_sharded_cg_lm_step(
                         jnp.einsum("kmi,km->ki", Jr_m, t_u), idx_r,
                         num_segments=nr,
                     ) / n_dev
-            o_i = jax.lax.psum(o_i, axis) + lam * diag_i * v_i
-            o_c = jax.lax.psum(o_c, axis) + lam * diag_c * v_c
+            # ONE fused collective for all families (a tuple psum lowers to
+            # a single combined all-reduce): per-CG-iteration collective
+            # count drops from 2-3 launches to 1, which is the dominant
+            # cost at small payloads (the [NI,6]+[NC,P] vectors are ~6 KB).
             if rig_opt:
-                o_r = jax.lax.psum(o_r, axis) + lam * diag_r * v_r
-                o_r = o_r * opt_r6
+                o_i, o_c, o_r = jax.lax.psum((o_i, o_c, o_r), axis)
+                o_r = (o_r + lam * diag_r * v_r) * opt_r6
+            else:
+                o_i, o_c = jax.lax.psum((o_i, o_c), axis)
+            o_i = o_i + lam * diag_i * v_i
+            o_c = o_c + lam * diag_c * v_c
             return o_i * opt_i6, o_r, o_c * opt_cp
 
         def precond(v_i, v_r, v_c):

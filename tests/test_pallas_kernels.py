@@ -145,9 +145,13 @@ def test_ba_resjac_kernel_matches_lm(loss) -> None:
                                rtol=2e-4, atol=2e-5)
 
 
-def test_fused_schur_assembly_matches_xla_dense():
+@pytest.mark.parametrize("sym_tile", [None, 16])
+def test_fused_schur_assembly_matches_xla_dense(sym_tile):
     """The fused assembly kernel (interpret mode) must reproduce the XLA
-    dense-path reduced system (S, b) including opt masks and point priors."""
+    dense-path reduced system (S, b) including opt masks and point priors.
+    sym_tile=16 forces the triangular-tiled symmetric S_II product (T=3
+    column tiles at ni=8) so the skipped-tile mirror is exercised; None
+    takes the single-tile fallback the tiny problem would pick itself."""
     import functools
 
     import jax
@@ -196,15 +200,19 @@ def test_fused_schur_assembly_matches_xla_dense():
         False, True, False, False, True,
     )
     orig = ba_assemble.fused_schur_assembly
+    orig_tile = ba_assemble._sym_tile
     try:
         ba_assemble.fused_schur_assembly = functools.partial(
             orig, interpret=True
         )
+        if sym_tile is not None:
+            ba_assemble._sym_tile = lambda ni6: sym_tile
         S2, b2, back = lm._build_reduced_system_fused(
             st, d, lam, "SoftLOneLoss", 1.0, ni, nr, nc, pmax
         )
     finally:
         ba_assemble.fused_schur_assembly = orig
+        ba_assemble._sym_tile = orig_tile
     S1, b1, S2, b2 = map(np.asarray, (S1, b1, S2, b2))
     assert np.abs(S1 - S2).max() / np.abs(S1).max() < 1e-4
     assert np.abs(b1 - b2).max() / (np.abs(b1).max() + 1e-12) < 1e-4
