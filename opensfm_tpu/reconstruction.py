@@ -1088,22 +1088,31 @@ def merge_two_reconstructions(r1, r2, config, threshold=1.0,
                 "Seeded merge accepted (%s seed): %d shots, %d points",
                 seed_name, len(r.shots), len(r.points),
             )
-            # Post-merge refinement: re-resect the SMALLER part's shots
-            # against the full merged point set (their pre-merge poses
-            # came from a thin model), then settle with two more
-            # retriangulate+bundle rounds.  Closes most of the gap
-            # between the merged geometry and the full-resolution golden.
-            part2_shots = set(r.shots) - part1_shots
-            small = (
-                part1_shots if len(part1_shots) <= len(part2_shots)
-                else part2_shots
-            )
-            if _reresect_shots(r, small, tracks_manager, data, config):
-                for _ in range(2):
-                    retriangulate(tracks_manager, r, config)
-                    align_reconstruction(r, gcp, config)
-                    bundle(r, camera_priors, rig_camera_priors, gcp, config)
-                    remove_outliers(r, config)
+            # Post-merge refinement: re-resect EVERY merged shot against
+            # the full merged point set (keep-if-better guard — poses from
+            # either thin pre-merge model can sit in a slightly wrong
+            # basin the robust bundle alone will not leave), then settle
+            # with retriangulate+bundle rounds until the poses stop
+            # moving (max shot-origin displacement < 5 mm, cap 5 rounds).
+            _reresect_shots(r, set(r.shots), tracks_manager, data, config)
+            prev = {
+                sid: s.pose.get_origin() for sid, s in r.shots.items()
+            }
+            for _ in range(5):
+                retriangulate(tracks_manager, r, config)
+                align_reconstruction(r, gcp, config)
+                bundle(r, camera_priors, rig_camera_priors, gcp, config)
+                remove_outliers(r, config)
+                cur = {
+                    sid: s.pose.get_origin() for sid, s in r.shots.items()
+                }
+                moved = max(
+                    float(np.linalg.norm(cur[sid] - prev[sid]))
+                    for sid in cur
+                )
+                prev = cur
+                if moved < 5e-3:
+                    break
             return [r]
         logger.info(
             "Seeded merge (%s seed) rejected: only %d cross-part points",

@@ -162,3 +162,68 @@ def test_reconstruction_incremental_exact_reference_gcp_mode() -> None:
     assert 0 < errors["aligned_position_rmse"] < 0.03
     assert 0 < errors["aligned_rotation_rmse"] < 0.003
     assert 0.01 < errors["absolute_gcp_rmse_horizontal"] < 0.05
+
+
+def test_seeded_merge_two_partials() -> None:
+    """merge_two_reconstructions' seeded (<10-inlier) regime,
+    deterministically: split a converged synthetic reconstruction into two
+    overlapping partials, displace the second by 1.5 m and scatter most of
+    its common points past the similarity-RANSAC threshold so the direct
+    >=10-inlier path is unavailable, then require the seeded merge
+    (median-translation seed -> union -> graduated consolidation ->
+    re-resection + settle) to reunite them within the strict scene bounds.
+    (The lund 640 px cliff exercises this path too, but only on feature
+    realizations that actually split — this pins it in every run.)"""
+    from opensfm_tpu.align import apply_similarity
+    from opensfm_tpu.reconstruction import (
+        _copy_reconstruction,
+        merge_two_reconstructions,
+    )
+
+    scene, recs, _ = _run_scene(0)
+    rec0 = recs[0]
+    dataset = synthetic_dataset.SyntheticDataSet(
+        scene.reconstruction, scene.exifs, scene.features,
+        scene.tracks_manager, scene.gcps,
+    )
+    shots = sorted(rec0.shots)
+    n = len(shots)
+    s1 = set(shots[: n * 2 // 3])
+    s2 = set(shots[n // 2:])
+    r1 = _copy_reconstruction(rec0)
+    r2 = _copy_reconstruction(rec0)
+    for s in shots:
+        if s not in s1:
+            r1.remove_shot(s)
+        if s not in s2:
+            r2.remove_shot(s)
+
+    # Make the overlap a THIN BRIDGE like the lund 640 px cliff: part 2
+    # keeps only 12 common points, 8 of them scattered metres off, so the
+    # similarity RANSAC cannot reach the >=10-strict-inlier direct bar
+    # (4 clean points) and the merge must go through the seeded regime.
+    # Part 2 is also displaced coherently by 1.5 m.
+    rng = np.random.default_rng(7)
+    apply_similarity(r2, 1.0, np.eye(3), np.array([1.5, -0.9, 0.6]))
+    pids = sorted(r2.points)
+    keep = set(pids[:: max(1, len(pids) // 12)][:12])
+    for pid in pids:
+        if pid not in keep:
+            r2.remove_point(pid)
+    for i, pid in enumerate(sorted(keep)):
+        if i % 3 != 0:  # 8 of 12 scattered, 4 clean
+            r2.points[pid].coordinates = (
+                np.asarray(r2.points[pid].coordinates)
+                + rng.normal(0.0, 3.0, 3)
+            )
+
+    merged = merge_two_reconstructions(
+        r1, r2, dataset.config, tracks_manager=scene.tracks_manager,
+        data=dataset,
+    )
+    assert len(merged) == 1, "seeded merge failed to unite the partials"
+    r = merged[0]
+    assert set(r.shots) == set(shots)
+    errors = synthetic_scene.compare(scene.reconstruction, {}, r)
+    assert 0 < errors["aligned_position_rmse"] < 0.05
+    assert 0 < errors["aligned_rotation_rmse"] < 0.005
