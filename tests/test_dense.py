@@ -84,3 +84,50 @@ def test_patch_match_low_variance_masked():
     )
     assert np.all(depth == 0.0)
     assert np.all(score == -1.0)
+
+
+def test_prune_depthmap_carries_segmentation_labels(tmp_path):
+    """Pruned depthmaps must carry the undistorted segmentation labels
+    into the point cloud (reference dense.py:234-264,344-352 — rounds 1-3
+    zeroed them)."""
+    import yaml
+
+    from opensfm_tpu import pymap, types
+    from opensfm_tpu.dataset import DataSet, UndistortedDataSet
+    from opensfm_tpu.dense import prune_depthmap
+    from opensfm_tpu.geometry.cameras import Camera
+
+    root = tmp_path / "segdense"
+    (root / "images").mkdir(parents=True)
+    (root / "config.yaml").write_text(yaml.safe_dump({}))
+    data = DataSet(str(root))
+    udata = UndistortedDataSet(
+        data, str(root / "undistorted"), io_handler=data.io_handler
+    )
+
+    H, W = 24, 32
+    cam = Camera.create_perspective(0.9, 0.0, 0.0)
+    cam.id = "cam1"
+    cam.width, cam.height = W, H
+    rec = types.Reconstruction()
+    rec.add_camera(cam)
+    shot = rec.create_shot("im1.jpg", "cam1", pymap.Pose())
+
+    depth = np.full((H, W), 2.0, dtype=np.float32)
+    plane = np.tile(
+        np.array([0.0, 0.0, -0.5], dtype=np.float32), (H, W, 1)
+    )
+    score = np.ones((H, W), dtype=np.float32)
+    udata.save_clean_depthmap("im1.jpg", depth, plane, score)
+
+    # Left half sky (label 2), right half road (label 7).
+    seg = np.zeros((H, W), dtype=np.uint8)
+    seg[:, : W // 2] = 2
+    seg[:, W // 2:] = 7
+    udata.save_undistorted_segmentation("im1.jpg", seg)
+
+    prune_depthmap(udata, rec, [], "im1.jpg")
+    points, normals, colors, labels = udata.load_pruned_depthmap("im1.jpg")
+    assert len(points) > 0
+    assert set(np.unique(labels)).issubset({2.0, 7.0})
+    assert (labels == 2.0).any() and (labels == 7.0).any()

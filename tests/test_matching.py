@@ -135,3 +135,78 @@ def test_dog_feature_detector_synthetic():
     assert len(pts) > 20
     assert desc.shape[1] == 128
     assert np.allclose(np.linalg.norm(desc, axis=1), 1.0, atol=0.01)
+
+
+def test_matching_use_segmentation_suppresses_cross_class(tmp_path):
+    """`matching_use_segmentation` must make the exact matcher prefer a
+    same-class descriptor over a closer cross-class one (the reference
+    appends a weighted label column so FLANN can't rank cross-class
+    candidates first — feature_loading.py:16-24,111, matching.py:281-289;
+    this was a silently-dead config key in rounds 1-3)."""
+    import yaml
+
+    from opensfm_tpu.dataset import DataSet
+    from opensfm_tpu.features import FeaturesData, SemanticData
+    from opensfm_tpu.matching import clear_cache, match_descriptors
+
+    root = tmp_path / "segds"
+    (root / "images").mkdir(parents=True)
+    (root / "config.yaml").write_text(
+        yaml.safe_dump(
+            {"feature_type": "HAHOG", "hahog_normalize_to_uchar": True}
+        )
+    )
+    data = DataSet(str(root))
+
+    rng = np.random.default_rng(3)
+    n = 24
+    base = rng.integers(0, 200, (n, 128)).astype(np.uint8)
+    pts = np.concatenate(
+        [rng.uniform(-0.4, 0.4, (n, 2)), np.full((n, 1), 0.01),
+         np.zeros((n, 1))], axis=1
+    )
+    colors = np.full((n, 3), 128.0)
+
+    # im1: every feature labelled class 0.
+    seg1 = SemanticData(np.zeros(n, dtype=np.int32), None, ["sky", "road"])
+    data.save_features("im1.jpg", FeaturesData(pts, base, colors, seg1))
+
+    # im2: feature i is the EXACT copy of im1's feature i but labelled
+    # class 1 (cross-class, distance 0), feature n+i is a slightly
+    # perturbed copy labelled class 0 (same-class, small distance).
+    desc2 = np.concatenate([base, base ^ 1], axis=0)  # xor -> tiny offset
+    pts2 = np.concatenate([pts, pts + 0.001], axis=0)
+    seg2 = SemanticData(
+        np.concatenate(
+            [np.ones(n, dtype=np.int32), np.zeros(n, dtype=np.int32)]
+        ),
+        None, ["sky", "road"],
+    )
+    data.save_features(
+        "im2.jpg",
+        FeaturesData(pts2, desc2, np.full((2 * n, 3), 128.0), seg2),
+    )
+
+    cam = None  # match_descriptors does not project for BRUTEFORCE
+
+    clear_cache()
+    plain = match_descriptors(
+        "im1.jpg", "im2.jpg", cam, cam, data,
+        {"matcher_type": "BRUTEFORCE", "lowes_ratio": 0.95,
+         "matching_use_segmentation": False},
+    )
+    clear_cache()
+    seg = match_descriptors(
+        "im1.jpg", "im2.jpg", cam, cam, data,
+        {"matcher_type": "BRUTEFORCE", "lowes_ratio": 0.95,
+         "matching_use_segmentation": True},
+    )
+    clear_cache()
+
+    # Without segmentation the exact-duplicate cross-class feature wins.
+    plain_targets = dict(plain.tolist())
+    assert sum(1 for i, j in plain_targets.items() if j == i) > n // 2
+    # With segmentation every surviving match lands on the same-class copy.
+    assert len(seg) > n // 2
+    for i, j in seg.tolist():
+        assert j == i + n, f"cross-class match {i}->{j} survived"
