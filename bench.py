@@ -208,10 +208,33 @@ def _trial_flops(counts, c_slot):
             + D ** 3 / 3.0)
 
 
+# Hand count of the fused kernels' per-observation-slot VPU work (what the
+# TPU actually executes per slot per trial), derived op-by-op from
+# ops/pallas_kernels/ba_assemble.py + the backsub + cost kernels:
+#   assembly: residual/Jacobian chain (Rodrigues rotate + project +
+#     distort ~50 flops forward, 12 forward-mode pushes ~40 each = ~530),
+#     whiten/loss/scale ~15, J scaling + opt masks ~48, per-point 3x3
+#     system psums ~30, Ga (18 tiles x 3) 54, B = Ga.L 36, direct aux rows
+#     (60 rows x 3) 180, b/schur_IC rows ~130;
+#   back-substitution: recomputes the chain (~580);
+#   cost kernel: forward chain + robust loss (~60).
+# Total ~1660; rounded DOWN to 1600 so the MFU numerator stays a floor of
+# executed work.  The XLA cost analysis of the UNFUSED CPU schedule of the
+# same math (tools/bench_flops.py) measures ~4600/slot — an upper bound
+# that includes the materialization-heavy einsum implementation the fused
+# kernel exists to avoid; it is reported alongside, never used for MFU.
+C_SLOT_KERNEL = 1600.0
+
+
 def calibrate_flops(counts_small, timeout=1500):
-    """XLA cost analysis of the unfused small-lane trial (CPU subprocess)
-    -> the per-slot FLOP coefficient.  Falls back to the r3 hand estimate
-    (flagged) if the subprocess fails."""
+    """Returns (c_slot_for_mfu, meta): the hand-counted kernel per-slot
+    FLOPs (floor of executed work, keeps MFU conservative) plus the XLA
+    cost-analysis count of the unfused schedule as a cross-check upper
+    bound in the meta."""
+    meta = dict(
+        source="kernel_hand_count", c_slot=C_SLOT_KERNEL,
+        derivation="see bench.py C_SLOT_KERNEL comment",
+    )
     try:
         env = dict(os.environ)
         env.pop("JAX_PLATFORMS", None)
@@ -227,19 +250,20 @@ def calibrate_flops(counts_small, timeout=1500):
             counts_small["ni"], counts_small["npts"], counts_small["pmax"]
         )
         D = 6 * ni + pmax
-        c_slot = (total - npts * ni * ni * 216.0 - D ** 3 / 3.0) / (
+        c_slot_xla = (total - npts * ni * ni * 216.0 - D ** 3 / 3.0) / (
             counts_small["obs"]
         )
-        if not (100.0 <= c_slot <= 3000.0):
-            raise ValueError(f"implausible c_slot {c_slot}")
-        return c_slot, dict(
-            source="xla_cost_analysis",
-            small_lane_trial_flops=total,
-            c_slot=round(c_slot, 1),
-        )
+        meta["xla_unfused_c_slot_upper_bound"] = round(c_slot_xla, 1)
+        meta["xla_unfused_trial_flops"] = total
+        if c_slot_xla < C_SLOT_KERNEL:  # pragma: no cover
+            # The unfused schedule should never beat the hand floor; if it
+            # does, the floor is wrong — take the smaller, stay a floor.
+            meta["source"] = "xla_cost_analysis_below_hand_floor"
+            return float(c_slot_xla), meta
     except Exception as e:  # pragma: no cover
-        print(f"flop calibration failed: {e}", file=sys.stderr)
-        return 900.0, dict(source="hand_estimate_fallback", c_slot=900.0)
+        print(f"flop cross-check failed: {e}", file=sys.stderr)
+        meta["xla_unfused_c_slot_upper_bound"] = None
+    return C_SLOT_KERNEL, meta
 
 
 def bench_cg(jax, jnp, n_shots=256, n_points=32768, track_len=8,
