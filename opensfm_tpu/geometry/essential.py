@@ -125,7 +125,9 @@ def _inverse_iteration(A: jnp.ndarray, lam: jnp.ndarray, steps: int = 4):
     v0 = jnp.ones((n,), dtype=A.dtype) / jnp.sqrt(jnp.asarray(n, A.dtype))
 
     def body(_, v):
-        w = jnp.linalg.solve(shifted, v)
+        # solve_small, not jnp.linalg.solve: TPU has no f64 LU kernel
+        # (x64 CLI runs compile this through the axon AOT service).
+        w = tpu_linalg.solve_small(shifted, v)
         w = jnp.where(jnp.all(jnp.isfinite(w)), w, v)
         return w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
 
@@ -173,7 +175,7 @@ def essential_five_points(x: jnp.ndarray, y: jnp.ndarray):
     # reduced row echelon form is unique; LU-with-pivoting solve replaces the
     # reference's explicit elimination (essential.h:97,107-110).
     M1, M2 = M[:, :10], M[:, 10:]
-    B = jnp.linalg.solve(M1, M2)
+    B = tpu_linalg.solve_small(M1, M2)  # TPU-safe (no f64 LU kernel)
     gj_ok = jnp.all(jnp.isfinite(B))
     B = jnp.where(gj_ok, B, jnp.zeros_like(B))
 

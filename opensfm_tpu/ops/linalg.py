@@ -63,6 +63,44 @@ def inv_spd(A: jnp.ndarray) -> jnp.ndarray:
     return solve_spd(A, eye)
 
 
+def solve_small(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve general small n x n systems A x = b (batched, any dtype).
+
+    Unrolled Gaussian elimination with partial pivoting — TPU has no LU
+    kernel at all in f64 (``jnp.linalg.solve`` fails to compile:
+    "Only F32 and C64 types are implemented in LuDecomposition"), and for
+    the n <= ~16 systems the solvers need, an unrolled elimination is
+    also faster than a batched LU dispatch.  Singular systems yield
+    inf/nan like ``jnp.linalg.solve`` — callers keep their isfinite
+    guards.  A: [..., n, n]; b: [..., n] or [..., n, k].
+    """
+    n = A.shape[-1]
+    vec = b.ndim == A.ndim - 1
+    if vec:
+        b = b[..., None]
+    M = jnp.concatenate([A, b.astype(A.dtype)], axis=-1)  # [..., n, n+k]
+    rows = jnp.arange(n)
+    for i in range(n):
+        # Partial pivot: strongest remaining row in column i.
+        col = jnp.abs(M[..., :, i])
+        col = jnp.where(rows >= i, col, -jnp.inf)
+        p = jnp.argmax(col, axis=-1)  # [...]
+        perm = jnp.where(
+            rows == i, p[..., None],
+            jnp.where(rows == p[..., None], i, rows),
+        )
+        M = jnp.take_along_axis(M, perm[..., :, None], axis=-2)
+        # Normalize the pivot row, eliminate every other row (Gauss-
+        # Jordan: leaves the left block as the identity, so back-
+        # substitution is just reading the right block).
+        row_i = M[..., i:i + 1, :] / M[..., i:i + 1, i:i + 1]
+        factors = M[..., :, i:i + 1]
+        elim = (rows != i)[:, None]
+        M = jnp.where(elim, M - factors * row_i, row_i)
+    x = M[..., n:]
+    return x[..., 0] if vec else x
+
+
 def det3(A: jnp.ndarray) -> jnp.ndarray:
     """Closed-form determinant of [..., 3, 3] (jnp.linalg.det needs LU)."""
     a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]

@@ -156,12 +156,25 @@ def _run(
         d1 = np.concatenate([d1, np.repeat(d1[:1], pad, axis=0)])
         d2 = np.concatenate([d2, np.repeat(d2[:1], pad, axis=0)])
         mask = np.concatenate([mask, np.zeros(pad, dtype=bool)])
-    key = jax.random.PRNGKey(seed)
     k = int(max(iterations, 64))
-    model, cost, inliers = core(
-        key, jnp.asarray(d1), jnp.asarray(d2),
-        jnp.asarray(threshold, dtype=np.asarray(d1).dtype), jnp.asarray(mask), k,
-    )
+    # The axon TPU runtime faults ("TPU worker process crashed") executing
+    # the composed hypothesis sweep at 1024 hypotheses in one program
+    # (bisected round 4: 512 runs, 1024 kills the worker; every piece of
+    # the sweep runs fine alone).  Chunk the sweep at <=512 hypotheses
+    # per dispatch and keep the best chunk — extra hypotheses in the last
+    # chunk only help, and all chunks share one compiled program.
+    chunk = 512
+    n_chunks = max(1, -(-k // chunk))
+    k_dispatch = min(k, chunk)
+    d1j, d2j = jnp.asarray(d1), jnp.asarray(d2)
+    thr = jnp.asarray(threshold, dtype=np.asarray(d1).dtype)
+    maskj = jnp.asarray(mask)
+    model = cost = inliers = None
+    for ci in range(n_chunks):
+        key = jax.random.PRNGKey(seed + ci * 7919)
+        m, c, inl = core(key, d1j, d2j, thr, maskj, k_dispatch)
+        if cost is None or float(c) < float(cost):
+            model, cost, inliers = m, c, inl
     inl = np.flatnonzero(np.asarray(inliers)[:n])
     result = RansacResult(
         model=jax.tree.map(np.asarray, model),
