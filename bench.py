@@ -294,14 +294,15 @@ def bench_cg(jax, jnp, n_shots=256, n_points=32768, track_len=8,
     sharded = shard_problem(problem, 1)
     ni, nr, nc, npts, O, T = sharded.counts()
     pmax = sharded.cam.shape[1]
+    win = int(getattr(sharded, "cg_window", 0) or 0)
     step = make_sharded_cg_lm_step(
         mesh, "points", "perspective", pmax, ni, nc,
-        cg_iters=cg_iters, cg_tol=0.0,
+        cg_iters=cg_iters, cg_tol=0.0, win=win,
     )
     cost_fn = make_sharded_cost(mesh, "points", "perspective", pmax, ni, nc)
     a = _cg_args(sharded, 1, jnp.float32)
     a["lam"] = jnp.asarray(1e-4, jnp.float32)
-    step_names = _cg_step_names("none", False, False, False)
+    step_names = _cg_step_names("none", False, False, False, win=win > 0)
     cost_names = _cg_cost_names("none", False, False, False)
 
     def one_trial():

@@ -45,6 +45,16 @@ def shard_problem(problem: BAProblem, n_shards: int) -> BAProblem:
     are padded to power-of-two buckets so the growth loop's successive
     global bundles share compiled programs (same rationale as
     problem._Builder.build's buckets).
+
+    When the track-length distribution allows it (<= ~1.6x obs inflation),
+    observations additionally land in UNIFORM per-point windows of
+    `cg_window` slots (long tracks spill into consecutive windows): the
+    CG step's point-side reductions then become reshape-sums over
+    [n_windows, cg_window] plus a tiny sorted segment-sum over
+    `cg_virt2real` (window -> point), instead of an O-sized scatter —
+    measured 4.9 ms -> sub-ms per CG iteration on the TPU at the
+    256-cam/262k-obs lane.  The windowed layout is still sorted-by-point,
+    so every consumer that ignores the window metadata keeps working.
     """
     npts = len(problem.points)
     pts_per_shard = _p2(-(-npts // n_shards), floor=64)
@@ -66,15 +76,60 @@ def shard_problem(problem: BAProblem, n_shards: int) -> BAProblem:
     slot_in_point = np.arange(len(pts)) - starts[pts]
     T = max(int(counts.max(initial=1)), 1)  # no truncation (weak #4)
 
-    shard_of = pts // pts_per_shard
-    obs_count_per_shard = np.bincount(shard_of, minlength=n_shards)
-    obs_per_shard = _p2(int(obs_count_per_shard.max(initial=0)), floor=256)
-    O_new = obs_per_shard * n_shards
+    shard_of_point = np.arange(np_pad) // pts_per_shard
+    shard_point0 = np.arange(n_shards) * pts_per_shard
+    pos_counts = counts[counts > 0]
+    med = int(np.median(pos_counts)) if len(pos_counts) else 1
+    T_w = int(min(64, max(4, _p2(med))))
+    n_win = -(-counts // T_w)  # windows per point (0 for empty points)
+    inflation = float((n_win * T_w).sum()) / max(len(pts), 1)
+    use_windows = inflation <= 1.6
 
-    # Position of each obs in the new layout: shard base + rank in shard.
-    shard_starts = np.concatenate([[0], np.cumsum(obs_count_per_shard)[:-1]])
-    rank_in_shard = np.arange(len(pts)) - shard_starts[shard_of]
-    new_pos = shard_of * obs_per_shard + rank_in_shard
+    shard_of = pts // pts_per_shard
+    if use_windows:
+        wins_per_shard = np.bincount(
+            shard_of_point, weights=n_win, minlength=n_shards
+        ).astype(np.int64)
+        win_per_shard = _p2(
+            int(wins_per_shard.max(initial=1)), floor=max(1, 256 // T_w)
+        )
+        obs_per_shard = win_per_shard * T_w
+        O_new = obs_per_shard * n_shards
+        # Window rank (within shard) of each point's first window.
+        prefix_all = np.concatenate([[0], np.cumsum(n_win)[:-1]])
+        win_in_shard = prefix_all - prefix_all[shard_point0][shard_of_point]
+        new_pos = (
+            shard_of * obs_per_shard
+            + (win_in_shard[pts] + slot_in_point // T_w) * T_w
+            + slot_in_point % T_w
+        )
+        # virt2real: GLOBAL point id per window row; padding windows point
+        # at the shard's first point (their rows carry zero weight).
+        virt2real = np.repeat(shard_point0, win_per_shard)
+        p_nz = np.flatnonzero(n_win > 0)
+        rep_pts = np.repeat(p_nz, n_win[p_nz])
+        within = np.arange(len(rep_pts)) - np.repeat(
+            np.concatenate([[0], np.cumsum(n_win[p_nz])[:-1]]), n_win[p_nz]
+        )
+        vrows = (
+            shard_of_point[rep_pts] * win_per_shard
+            + win_in_shard[rep_pts] + within
+        )
+        virt2real[vrows] = rep_pts
+    else:
+        T_w = 0
+        virt2real = None
+        obs_count_per_shard = np.bincount(shard_of, minlength=n_shards)
+        obs_per_shard = _p2(
+            int(obs_count_per_shard.max(initial=0)), floor=256
+        )
+        O_new = obs_per_shard * n_shards
+        # Position of each obs: shard base + rank in shard.
+        shard_starts = np.concatenate(
+            [[0], np.cumsum(obs_count_per_shard)[:-1]]
+        )
+        rank_in_shard = np.arange(len(pts)) - shard_starts[shard_of]
+        new_pos = shard_of * obs_per_shard + rank_in_shard
 
     def alloc(shape, dtype=np.float64, fill=0):
         return np.full(shape, fill, dtype=dtype)
@@ -114,7 +169,7 @@ def shard_problem(problem: BAProblem, n_shards: int) -> BAProblem:
         out[: len(arr)] = arr
         return out
 
-    return BAProblem(
+    sharded = BAProblem(
         inst=problem.inst, rigcam=problem.rigcam, cam=problem.cam,
         points=pad_points(problem.points),
         obs_uv=obs_uv, obs_inv_sd=obs_inv_sd, obs_point=obs_point,
@@ -148,6 +203,12 @@ def shard_problem(problem: BAProblem, n_shards: int) -> BAProblem:
         ang_rigcam=problem.ang_rigcam, ang_value=problem.ang_value,
         ang_inv_sd=problem.ang_inv_sd,
     )
+    # Window metadata for the CG step's reshape-sum point reductions
+    # (0 / None when the track-length distribution made windows too
+    # wasteful — consumers fall back to segment ops).
+    sharded.cg_window = T_w
+    sharded.cg_virt2real = virt2real
+    return sharded
 
 
 def make_sharded_lm_step(
@@ -525,15 +586,16 @@ _CG_SHARDED = frozenset((
     "points", "obs_uv", "obs_inv_sd", "obs_point", "obs_inst", "obs_rigcam",
     "obs_cam", "obs_depth", "obs_depth_inv_sd", "obs_depth_radial",
     "point_prior", "point_prior_inv_sd", "point_prior_loss", "opt_points",
-    "point_base",
+    "point_base", "virt2real",
 ))
 
 
 def _cg_step_names(rig_mode: str, with_depth: bool, has_up: bool,
-                   has_ang: bool):
+                   has_ang: bool, win: bool = False):
     """Canonical argument order for the CG step.  With every feature off
     this reduces to the original 21-argument mono signature, so existing
-    callers keep working."""
+    callers keep working.  `win` appends the window->point map for the
+    reshape-sum point reductions."""
     names = ["inst"]
     if rig_mode != "none":
         names.append("rigcam")
@@ -558,6 +620,8 @@ def _cg_step_names(rig_mode: str, with_depth: bool, has_up: bool,
     if rig_mode == "opt":
         names.append("opt_rigcam")
     names += ["opt_cam", "opt_points", "lam", "point_base"]
+    if win:
+        names.append("virt2real")
     return tuple(names)
 
 
@@ -603,6 +667,7 @@ def make_sharded_cg_lm_step(
     with_depth: bool = False,
     has_up: bool = False,
     has_ang: bool = False,
+    win: int = 0,
 ):
     """Build a jitted camera-block-sparse LM step.  Memoized so the growth
     loop's repeated global bundles reuse one compiled program per shape
@@ -625,7 +690,8 @@ def make_sharded_cg_lm_step(
     the replicated shot rows: up-vector (`has_up`) and pan/tilt/roll
     (`has_ang`) with Cauchy(1), via lm._shot_prior_residuals.
     """
-    step_names = _cg_step_names(rig_mode, with_depth, has_up, has_ang)
+    step_names = _cg_step_names(rig_mode, with_depth, has_up, has_ang,
+                                win=win > 0)
     rig_opt = rig_mode == "opt"
     K = 3 if with_depth else 2
 
@@ -786,15 +852,44 @@ def make_sharded_cg_lm_step(
                 return _contract0(oh_r, s)
             return jax.ops.segment_sum(s, obs_rigcam, num_segments=nr)
 
+        # --- point-side reductions -----------------------------------------
+        # Windowed layout (shard_problem cg_window): [n_win, win]
+        # reshape-sums + a tiny sorted window->point segment-sum replace
+        # the O-sized scatter; the inverse is a window take + broadcast
+        # instead of an O-sized gather.
+        if win > 0:
+            n_win_local = O_local // win
+            v2r_local = a["virt2real"] - a["point_base"][0]
+
+            def preduce(s):
+                sw = s.reshape((n_win_local, win) + s.shape[1:]).sum(axis=1)
+                return jax.ops.segment_sum(
+                    sw, v2r_local, num_segments=np_local,
+                    indices_are_sorted=True,
+                )
+
+            def pgather(w_):
+                wv = jnp.take(
+                    w_, v2r_local, axis=0, indices_are_sorted=True
+                )
+                return jnp.broadcast_to(
+                    wv[:, None], (n_win_local, win) + w_.shape[1:]
+                ).reshape((O_local,) + w_.shape[1:])
+        else:
+            def preduce(s):
+                return jax.ops.segment_sum(
+                    s, local_point, num_segments=np_local,
+                    indices_are_sorted=True,
+                )
+
+            def pgather(w_):
+                return jnp.take(
+                    w_, local_point, axis=0, indices_are_sorted=True
+                )
+
         # --- point system --------------------------------------------------
-        Hpp = jax.ops.segment_sum(
-            jnp.einsum("oki,okj->oij", Jp, Jp), local_point,
-            num_segments=np_local, indices_are_sorted=True,
-        )
-        bp = jax.ops.segment_sum(
-            jnp.einsum("oki,ok->oi", Jp, r), local_point,
-            num_segments=np_local, indices_are_sorted=True,
-        )
+        Hpp = preduce(jnp.einsum("oki,okj->oij", Jp, Jp))
+        bp = preduce(jnp.einsum("oki,ok->oi", Jp, r))
         # Point position priors (GCPs) are shard-local diagonal additions.
         pp_H, pp_rhs = _point_prior_terms(
             points, a["point_prior"], a["point_prior_inv_sd"],
@@ -877,7 +972,7 @@ def make_sharded_cg_lm_step(
 
         # --- RHS: b = Jc^T r - Gamma Hpp^-1 bp -----------------------------
         Hib = jnp.einsum("pij,pj->pi", Hpp_inv, bp)
-        t_rhs = r - jnp.einsum("okj,oj->ok", Jp, Hib[local_point])
+        t_rhs = r - jnp.einsum("okj,oj->ok", Jp, pgather(Hib))
         # Priors also feed the Schur RHS through the point coupling: the
         # GCP rhs is inside bp, so t_rhs above already carries it.
         b_i = jax.ops.segment_sum(
@@ -911,7 +1006,7 @@ def make_sharded_cg_lm_step(
             jnp.einsum("oki,okj->oij", Ji, Ji), obs_inst, num_segments=ni
         )
         schur_i = jax.ops.segment_sum(
-            jnp.einsum("oij,ojk,olk->oil", G_i, Hpp_inv[local_point], G_i),
+            jnp.einsum("oij,ojk,olk->oil", G_i, pgather(Hpp_inv), G_i),
             obs_inst, num_segments=ni,
         )
         extra_i = gps_blocks
@@ -1003,15 +1098,9 @@ def make_sharded_cg_lm_step(
             if rig_opt:
                 v_r = v_r * opt_r6
                 t = t + jnp.einsum("oki,oi->ok", Jr, sel_r(v_r))
-            u = jax.ops.segment_sum(
-                jnp.einsum("okj,ok->oj", Jp, t), local_point,
-                num_segments=np_local, indices_are_sorted=True,
-            )
+            u = preduce(jnp.einsum("okj,ok->oj", Jp, t))
             w = jnp.einsum("pij,pj->pi", Hpp_inv, u)
-            y = jnp.einsum(
-                "okj,oj->ok", Jp,
-                jnp.take(w, local_point, axis=0, indices_are_sorted=True),
-            )
+            y = jnp.einsum("okj,oj->ok", Jp, pgather(w))
             o_i = red_i(
                 jnp.einsum("oki,ok->oi", Ji, t - y)
             ) + jnp.einsum("nij,nj->ni", gps_blocks, v_i)
@@ -1100,10 +1189,7 @@ def make_sharded_cg_lm_step(
         )
         if rig_opt:
             t = t + jnp.einsum("oki,oi->ok", Jr, dx_r[obs_rigcam])
-        u = jax.ops.segment_sum(
-            jnp.einsum("okj,ok->oj", Jp, t), local_point,
-            num_segments=np_local, indices_are_sorted=True,
-        )
+        u = preduce(jnp.einsum("okj,ok->oj", Jp, t))
         dx_p = jnp.einsum("pij,pj->pi", Hpp_inv, bp - u)
 
         out = (inst - dx_i,)
@@ -1318,7 +1404,12 @@ def _cg_args(problem: BAProblem, n_shards: int, dtype):
     def opt(x, default):
         return np.asarray(x) if x is not None else default
 
+    v2r = getattr(problem, "cg_virt2real", None)
     extras = dict(
+        virt2real=jnp.asarray(
+            v2r if v2r is not None else np.zeros(0, np.int64),
+            dtype=jnp.int32,
+        ),
         rigcam=jnp.asarray(problem.rigcam, dtype=dtype),
         obs_rigcam=jnp.asarray(problem.obs_rigcam, dtype=jnp.int32),
         obs_depth=jnp.asarray(
@@ -1437,6 +1528,7 @@ def bundle_adjust_sharded(
     ni, nr, nc, npts, O, T = sharded.counts()
     pmax = sharded.cam.shape[1]
 
+    win = int(getattr(sharded, "cg_window", 0) or 0)
     kw = dict(
         loss=problem.loss, loss_threshold=float(problem.loss_threshold),
         nr=nr, rig_mode=rig_mode, with_depth=with_depth, has_up=has_up,
@@ -1444,10 +1536,11 @@ def bundle_adjust_sharded(
     )
     step = make_sharded_cg_lm_step(
         mesh, axis, ptype, pmax, ni, nc, cg_iters=cg_iters, cg_tol=cg_tol,
-        **kw,
+        win=win, **kw,
     )
     cost_fn = make_sharded_cost(mesh, axis, ptype, pmax, ni, nc, **kw)
-    step_names = _cg_step_names(rig_mode, with_depth, has_up, has_ang)
+    step_names = _cg_step_names(rig_mode, with_depth, has_up, has_ang,
+                                win=win > 0)
     cost_names = _cg_cost_names(rig_mode, with_depth, has_up, has_ang)
     a = _cg_args(sharded, n_shards, getattr(jnp, np.dtype(dtype).name))
     rig_opt = rig_mode == "opt"
