@@ -121,7 +121,7 @@ def _dist_main() -> None:
     OS-process boundary — each with its OWN XLA thread pool, which is what
     the shared-pool virtual mesh cannot provide."""
     if DIST_ROLE == "solo":
-        rate = measure(1, reps=3)
+        rate = measure(1, reps=6)
         print(json.dumps({"rate": rate}), flush=True)
         return
 
@@ -171,7 +171,7 @@ def _dist_main() -> None:
     args.append(globalize("point_base", a["point_base"]))
     out = step(*args)
     jax.block_until_ready(out)  # warmup/compile
-    reps = 3
+    reps = 6
     t0 = time.time()
     for _ in range(reps):
         out = step(*args)
