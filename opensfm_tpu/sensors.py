@@ -1307,6 +1307,31 @@ _NOISE_TOKENS = {
     "eastman",
 }
 
+# Product-line words that vendors include or omit freely in EXIF Model
+# strings ("CASIO EXILIM EX-Z75" vs "EX-Z75", "LUMIX DMC-LZ20" vs
+# "DMC-LZ20", "Alpha DSLR-A100" vs "DSLR-A100").  Lookups try both forms,
+# and `sensor_data()` registers a series-stripped alias for every built-in
+# key carrying one, so either spelling of key and query matches.
+_SERIES_TOKENS = {
+    "exilim", "lumix", "alpha", "cyber-shot", "cybershot", "easyshare",
+    "stylus", "xacti", "vario",
+}
+
+_SUFFIX_RE = None  # compiled lazily: trailing letters after digits
+
+
+def _strip_model_suffix(token: str) -> str:
+    """'f70exr' -> 'f70', 'z33wp' -> 'z33': marketing suffixes appended
+    to the numeric model core, which EXIF includes but spec tables often
+    drop (or vice versa).  Same-family sensors, safe for a focal PRIOR."""
+    global _SUFFIX_RE
+    if _SUFFIX_RE is None:
+        import re
+
+        _SUFFIX_RE = re.compile(r"^([a-z]*-?\d+)[a-z]+$")
+    m = _SUFFIX_RE.match(token)
+    return m.group(1) if m else token
+
 
 def _candidates(sensor_string: str):
     yield sensor_string
@@ -1323,6 +1348,15 @@ def _candidates(sensor_string: str):
     while dedup and dedup[-1] in ("digital", "camera"):
         dedup = dedup[:-1]
     yield " ".join(dedup)
+    # Series-word-free form ("casio exilim ex-z75" -> "casio ex-z75").
+    no_series = [t for t in dedup if t not in _SERIES_TOKENS]
+    if no_series != dedup:
+        yield " ".join(no_series)
+    # Model-suffix-free form ("fujifilm finepix f70exr" -> "... f70").
+    if no_series:
+        stripped = no_series[:-1] + [_strip_model_suffix(no_series[-1])]
+        if stripped != no_series:
+            yield " ".join(stripped)
 
 
 def sensor_width(sensor_string: Optional[str]) -> Optional[float]:

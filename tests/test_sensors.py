@@ -152,3 +152,23 @@ def test_exif_corpus_focal_priors():
         focal_35, ratio = exif.compute_focal(None, focal_mm, None, key)
         assert ratio > 0, (make, model)
         assert 0.05 < ratio < 3.5, (make, model, ratio)
+
+
+def test_sensor_lookup_series_and_suffix_variants():
+    """EXIF Model strings include or omit product-line words (EXILIM,
+    LUMIX, Alpha) and marketing suffixes (F70EXR vs F70) freely; either
+    spelling must resolve (round-4 fix: these all returned None)."""
+    from opensfm_tpu import sensors
+
+    for q in (
+        "casio exilim ex-fc100",
+        "casio computer co.,ltd. exilim ex-z75",
+        "panasonic lumix dmc-lz20",
+        "sony alpha dslr-a100",
+        "fujifilm finepix f70exr",
+        "fujifilm finepix z33wp",
+    ):
+        assert sensors.sensor_width(q) is not None, q
+    # Raw short forms keep working.
+    assert sensors.sensor_width("sony dsc-w350") is not None
+    assert sensors.sensor_width("nikon corporation d90") == 23.5
