@@ -1296,6 +1296,78 @@ def sensor_data() -> Dict[str, float]:
     return _BUILTIN
 
 
+# --- Round-4 long-tail extension, wave 3 (system bodies + early compacts) ---
+# Same method as wave 2: class-from-system/series, audited vs the reference
+# (77 shared keys, median deviation 0.75%, 19 deviants dropped not corrected).
+_add("casio", {
+    "ex-n1": _1_23, "ex-n5": _1_23, "ex-n10": _1_23, "ex-n20": _1_23,
+    "ex-n50": _1_23, "ex-fr10": _1_23, "qv-r40": _1_18, "qv-r41": _1_18,
+    "qv-r51": _1_18, "qv-r52": _1_18, "qv-r61": _1_18, "qv-r62": _1_18,
+    "qv-r100": _1_25, "qv-r200": _1_25, "qv-r300": _1_25,
+})
+_add("fujifilm", {
+    "x-e2s": _APSC,
+})
+_add("fujifilm finepix", {
+    "1300": _1_27, "1400z": _1_27, "2300": _1_27, "2400 zoom": _1_27,
+    "2600 zoom": _1_27, "2650": _1_27, "2800 zoom": _1_27, "3800": _1_27,
+    "30i": _1_27, "40i": _1_27, "4700 zoom": _1_17, "4800 zoom": _1_17,
+    "4900 zoom": _1_17, "6800 zoom": _1_17, "6900 zoom": _1_17,
+    "f601": _1_17, "f811": _1_17, "s20 pro": _1_17, "s1 pro": _APSC,
+    "s2 pro": _APSC, "s3 pro": _APSC, "s5 pro": _APSC,
+})
+_add("ge", {
+    "w90": _1_23, "w100": _1_23, "a630": _1_25, "a635": _1_25,
+})
+_add("kodak", {
+    "pixpro az251": _1_23, "pixpro az252": _1_23, "pixpro az361": _1_23,
+    "pixpro az362": _1_23, "pixpro az365": _1_23, "pixpro az421": _1_23,
+    "pixpro az422": _1_23, "pixpro az425": _1_23, "pixpro az501": _1_23,
+    "pixpro az521": _1_23, "pixpro az522": _1_23, "pixpro az525": _1_23,
+    "pixpro az526": _1_23, "pixpro az527": _1_23, "pixpro fz41": _1_23,
+    "pixpro fz42": _1_23, "pixpro fz43": _1_23, "pixpro fz51": _1_23,
+    "pixpro fz52": _1_23, "pixpro fz53": _1_23, "pixpro fz151": _1_23,
+    "pixpro fz152": _1_23, "pixpro fz201": _1_23,
+})
+_add("konica minolta", {
+    "dimage z3": _1_25, "dimage x50": _1_25, "dimage x60": _1_25,
+    "dimage g530": _1_25,
+})
+_add("minolta", {
+    "dimage a200": _2_3, "dimage xi": _1_27, "dimage e203": _1_27,
+    "dimage e223": _1_27, "dimage 20": _1_27, "dimage x1": _1_25,
+    "dimage g530": _1_25, "dimage g600": _1_25,
+})
+_add("olympus", {
+    "c-2000z": _1_18, "c-2020z": _1_18, "c-2040z": _1_18, "c-3000z": _1_18,
+    "c-3020z": _1_18, "c-3030z": _1_18, "c-3040z": _1_18, "c-4000z": _1_18,
+    "c-4040z": _1_18, "c-5050z": _1_18, "c-40z": _1_18, "c-5060wz": _1_17,
+    "c-7070wz": _1_17, "c-8080wz": _2_3, "c-160": _1_27, "c-170": _1_27,
+    "c-180": _1_27, "c-220z": _1_27, "c-300z": _1_27, "c-310z": _1_27,
+    "c-700uz": _1_27, "c-720uz": _1_27, "c-730uz": _1_27, "c-740uz": _1_27,
+    "c-750uz": _1_27, "c-350z": _1_25, "c-360z": _1_25, "c-370z": _1_25,
+    "c-450z": _1_25, "c-460z": _1_25, "c-470z": _1_25, "c-480z": _1_25,
+    "c-500z": _1_25, "c-510z": _1_25, "c-540z": _1_25, "c-550z": _1_25,
+    "c-560z": _1_25, "c-570z": _1_25, "c-760uz": _1_25, "c-765uz": _1_25,
+    "c-770uz": _1_25, "c-55z": _1_25, "c-60z": _1_25, "c-70z": _1_25,
+})
+_add("panasonic", {
+    "dmc-fh4": _1_23, "dmc-s1": _1_23, "dmc-s2": _1_23, "dmc-s3": _1_23,
+    "dmc-s5": _1_23, "dmc-fx3": _1_25, "dmc-lx9": _ONE, "dmc-tz9": _1_23,
+    "dmc-tz101": _ONE, "dmc-tz200": _ONE, "dmc-tz202": _ONE,
+})
+_add("samsung", {
+    "digimax a50": _1_25, "digimax a55w": _1_25, "digimax i5": _1_25,
+    "digimax i50": _1_25, "digimax i6": _1_25, "digimax l50": _1_25,
+    "digimax l60": _1_25, "digimax l70": _1_25, "digimax s700": _1_25,
+    "digimax d53": _1_25, "digimax cyber 530": _1_25, "digimax v700": _1_18,
+    "digimax v800": _1_18, "digimax pro815": _1_18,
+})
+_add("sony", {
+    "ilce-3500": _APSC,
+})
+
+
 # EXIF Make strings carry corporate noise ("NIKON CORPORATION",
 # "CASIO COMPUTER CO.,LTD.", "EASTMAN KODAK COMPANY") and often repeat the
 # brand inside Model ("NIKON D90"), so the raw `sensor_string(make, model)`
