@@ -626,8 +626,8 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             print(f"e2e bench failed: {e}", file=sys.stderr)
 
-    # TPU-backend e2e lanes LAST (they flip x64 on in-process).
-    if not skip("e2e_berlin_tpu", 200):
+    # TPU-backend e2e lane LAST (it flips x64 on in-process).
+    if not skip("e2e_berlin_tpu", 600):
         try:
             extra["e2e_berlin_tpu"] = bench_e2e_device(
                 "berlin", "compute_depthmaps",
@@ -635,16 +635,11 @@ def main() -> None:
             )
         except Exception as e:  # pragma: no cover
             print(f"TPU e2e berlin failed: {e}", file=sys.stderr)
-    if not skip("e2e_lund_tpu", 300):
-        try:
-            # lund through reconstruct (29 images; dense on a tunneled
-            # chip would blow the bench budget — recorded stages are the
-            # growth loop evidence the VERDICT asks for).
-            extra["e2e_lund_tpu"] = bench_e2e_device(
-                "lund", "reconstruct", budget_s=min(1500, remaining())
-            )
-        except Exception as e:  # pragma: no cover
-            print(f"TPU e2e lund failed: {e}", file=sys.stderr)
+    # (No lund-on-TPU lane: a 29-image growth loop through the tunneled
+    # chip runs 30-60+ min — one un-preemptible stage would blow the
+    # driver's bench window.  The berlin TPU lane above carries the
+    # full-pipeline-on-TPU + dispatch-count evidence; lund runs in the
+    # CPU test suite.)
     extra["bench_wall_s"] = round(time.time() - t_bench0, 1)
 
     ceres_cpu_estimate = 1.0  # LM iter/s, Ceres SPARSE_SCHUR, workstation CPU
