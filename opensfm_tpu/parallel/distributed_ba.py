@@ -107,15 +107,17 @@ def shard_problem(problem: BAProblem, n_shards: int) -> BAProblem:
         # at the shard's first point (their rows carry zero weight).
         virt2real = np.repeat(shard_point0, win_per_shard)
         p_nz = np.flatnonzero(n_win > 0)
-        rep_pts = np.repeat(p_nz, n_win[p_nz])
-        within = np.arange(len(rep_pts)) - np.repeat(
-            np.concatenate([[0], np.cumsum(n_win[p_nz])[:-1]]), n_win[p_nz]
-        )
-        vrows = (
-            shard_of_point[rep_pts] * win_per_shard
-            + win_in_shard[rep_pts] + within
-        )
-        virt2real[vrows] = rep_pts
+        if len(p_nz):
+            rep_pts = np.repeat(p_nz, n_win[p_nz])
+            within = np.arange(len(rep_pts)) - np.repeat(
+                np.concatenate([[0], np.cumsum(n_win[p_nz])[:-1]]),
+                n_win[p_nz],
+            )
+            vrows = (
+                shard_of_point[rep_pts] * win_per_shard
+                + win_in_shard[rep_pts] + within
+            )
+            virt2real[vrows] = rep_pts
     else:
         T_w = 0
         virt2real = None
