@@ -27,10 +27,14 @@ axon platform on the driver):
    2-process strong scaling, and the >=2048-shot / >=256k-point / >=10M-obs
    extra-large lane past the dense ceiling (VERDICT r3 item 2).
 
-Prints ONE JSON line with the primary metric; auxiliary measurements ride
-in "extra".  vs_baseline: measured against ~1 LM iter/s for Ceres
-SPARSE_SCHUR on the same problem size on a workstation CPU (the reference
-publishes no numbers — see BASELINE.md).
+Prints the cumulative result as one JSON line after EVERY completed lane
+(the driver parses the last parsable line of the tail, so a timeout still
+leaves every completed lane in the artifact — VERDICT r4 weak #1: the r4
+run was killed and, printing only at the end, left nothing).  The primary
+metric rides in "value"; auxiliary measurements in "extra".  vs_baseline:
+measured against ~1 LM iter/s for Ceres SPARSE_SCHUR on the same problem
+size on a workstation CPU (the reference publishes no numbers — see
+BASELINE.md).
 """
 
 import json
@@ -257,8 +261,14 @@ def calibrate_flops(counts_small, timeout=1500):
         meta["xla_unfused_trial_flops"] = total
         if c_slot_xla < C_SLOT_KERNEL:  # pragma: no cover
             # The unfused schedule should never beat the hand floor; if it
-            # does, the floor is wrong — take the smaller, stay a floor.
+            # does, the floor is wrong — take the smaller, stay a floor
+            # (and record the coefficient actually used, ADVICE r4).
             meta["source"] = "xla_cost_analysis_below_hand_floor"
+            meta["c_slot"] = round(c_slot_xla, 1)
+            meta["derivation"] = (
+                "XLA cost analysis of the unfused schedule undercut the "
+                "hand count; using the smaller so MFU stays a floor"
+            )
             return float(c_slot_xla), meta
     except Exception as e:  # pragma: no cover
         print(f"flop cross-check failed: {e}", file=sys.stderr)
@@ -266,49 +276,89 @@ def calibrate_flops(counts_small, timeout=1500):
     return C_SLOT_KERNEL, meta
 
 
+def _cg_variant_problem(variant, n_shots, n_points, track_len):
+    """The bench CG problem with one round-4 generalization switched on:
+    'plain' (none), 'rig' (locked non-identity rig cameras in the chain),
+    'up' (per-shot up-vector rows), 'depth' (per-observation depth
+    priors).  VERDICT r4 weak #5: only 'plain' had a perf lane."""
+    from __graft_entry__ import _make_problem
+
+    problem = _make_problem(
+        n_shots=n_shots, n_points=n_points, seed=0, track_window=track_len
+    )
+    ni = len(problem.inst)
+    O = len(problem.obs_uv)
+    if variant == "rig":
+        # Non-identity locked rig camera: composes into the projection
+        # chain every observation (rig_mode="fixed").
+        problem.rigcam = np.array([[0.0, 0.02, 0.0, 0.1, 0.0, 0.05]])
+    elif variant == "up":
+        problem.up_inst = np.arange(ni, dtype=np.int64)
+        problem.up_rigcam = np.zeros(ni, dtype=np.int64)
+        problem.up_vec = np.tile([0.0, 0.0, 1.0], (ni, 1))
+        problem.up_inv_sd = np.full(ni, 10.0)
+    elif variant == "depth":
+        problem.obs_depth = np.full(O, 10.0)
+        problem.obs_depth_inv_sd = np.full(O, 1.0)
+        problem.obs_depth_radial = np.zeros(O, bool)
+    return problem
+
+
 def bench_cg(jax, jnp, n_shots=256, n_points=32768, track_len=8,
-             cg_iters=30, trials=4):
-    """Camera-block-sparse CG LM trials on THIS chip (1-device mesh), f32,
+             cg_iters=30, trials=4, variant="plain", solver="cg"):
+    """Sharded scale-path LM trials on THIS chip (1-device mesh), f32,
     sparse tracks — the `bundle_distributed` product path's per-chip rate.
-    Each timed trial = one sharded CG step (fixed cg_iters) + the sharded
-    cost evaluation + the host accept/reject sync, exactly as
+    Each timed trial = one sharded step (fixed cg_iters for solver="cg";
+    the assembled reduced solve for solver="schur") + the sharded cost
+    evaluation + the host accept/reject sync, exactly as
     `bundle_adjust_sharded`'s damping loop runs it."""
     from jax.sharding import Mesh
 
-    from __graft_entry__ import _make_problem
     from opensfm_tpu.parallel import (
         make_sharded_cg_lm_step,
         make_sharded_cost,
+        make_sharded_schur_lm_step,
         shard_problem,
     )
     from opensfm_tpu.parallel.distributed_ba import (
         _cg_args,
         _cg_cost_names,
+        _cg_modes,
         _cg_step_names,
     )
 
-    problem = _make_problem(
-        n_shots=n_shots, n_points=n_points, seed=0, track_window=track_len
-    )
+    problem = _cg_variant_problem(variant, n_shots, n_points, track_len)
     mesh = Mesh(np.array(jax.devices()[:1]), ("points",))
     sharded = shard_problem(problem, 1)
+    rig_mode, with_depth, has_up, has_ang = _cg_modes(sharded)
     ni, nr, nc, npts, O, T = sharded.counts()
     pmax = sharded.cam.shape[1]
     win = int(getattr(sharded, "cg_window", 0) or 0)
-    step = make_sharded_cg_lm_step(
-        mesh, "points", "perspective", pmax, ni, nc,
-        cg_iters=cg_iters, cg_tol=0.0, win=win,
+    kw = dict(rig_mode=rig_mode, with_depth=with_depth, has_up=has_up,
+              has_ang=has_ang, nr=nr)
+    if solver == "schur":
+        step = make_sharded_schur_lm_step(
+            mesh, "points", "perspective", pmax, ni, nc, win=win, **kw,
+        )
+    else:
+        step = make_sharded_cg_lm_step(
+            mesh, "points", "perspective", pmax, ni, nc,
+            cg_iters=cg_iters, cg_tol=0.0, win=win, **kw,
+        )
+    cost_fn = make_sharded_cost(
+        mesh, "points", "perspective", pmax, ni, nc, **kw
     )
-    cost_fn = make_sharded_cost(mesh, "points", "perspective", pmax, ni, nc)
     a = _cg_args(sharded, 1, jnp.float32)
     a["lam"] = jnp.asarray(1e-4, jnp.float32)
-    step_names = _cg_step_names("none", False, False, False, win=win > 0)
-    cost_names = _cg_cost_names("none", False, False, False)
+    step_names = _cg_step_names(rig_mode, with_depth, has_up, has_ang,
+                                win=win > 0)
+    cost_names = _cg_cost_names(rig_mode, with_depth, has_up, has_ang)
+    out_keys = (("inst", "rigcam", "cam", "points") if rig_mode == "opt"
+                else ("inst", "cam", "points"))
 
     def one_trial():
         out = step(*(a[k] for k in step_names))
-        c = float(cost_fn(*(dict(a, **dict(zip(("inst", "cam", "points"),
-                                               out)))[k]
+        c = float(cost_fn(*(dict(a, **dict(zip(out_keys, out)))[k]
                             for k in cost_names)))
         return c
 
@@ -317,11 +367,23 @@ def bench_cg(jax, jnp, n_shots=256, n_points=32768, track_len=8,
     for _ in range(trials):
         one_trial()
     dt = time.time() - t0
-    return trials / dt, dict(
-        shots=n_shots, points=n_points, obs=int(
+    meta = dict(
+        variant=variant, shots=n_shots, points=n_points, obs=int(
             np.sum(np.asarray(problem.obs_inv_sd) > 0)
-        ), cg_iters=cg_iters,
+        ),
     )
+    if solver == "cg":
+        meta["cg_iters"] = cg_iters
+    return trials / dt, meta
+
+
+def bench_schur_sharded(jax, jnp, n_shots=256, n_points=32768,
+                        track_len=8, trials=6):
+    """Assembled-Schur sharded LM trials (the round-5 scale path for
+    moderate camera counts: one [D, D] psum + replicated Cholesky per
+    trial instead of 30 matrix-free CG iterations — VERDICT r4 #4)."""
+    return bench_cg(jax, jnp, n_shots=n_shots, n_points=n_points,
+                    track_len=track_len, trials=trials, solver="schur")
 
 
 def bench_features(jax, jnp):
@@ -398,13 +460,16 @@ def bench_matching(jax, jnp):
 
 
 def bench_e2e_device(dataset_name="berlin", last_stage="compute_depthmaps",
-                     budget_s=1200):
+                     budget_s=1200, on_stage=None):
     """End-to-end per-stage wall clock on THIS process's backend (the TPU
     under the driver — the r1 TPU e2e was never re-measured after two
     rounds of kernel work, VERDICT r3 weak #7).  Runs in-process so the
     tunnel's device session stays with the bench; enables x64 for product
     parity (the CLI runner does).  Stages past `budget_s` are skipped and
-    marked.  Also reports the growth loop's device-dispatch counts
+    marked.  `on_stage(times)` is called after EVERY stage so the caller
+    can re-emit its cumulative JSON — a driver timeout mid-stage then
+    still leaves every completed stage in the artifact (VERDICT r4
+    weak #1).  Also reports the growth loop's device-dispatch counts
     (candidate-batched resection, SURVEY §7.3)."""
     import shutil
     import tempfile
@@ -461,6 +526,9 @@ def bench_e2e_device(dataset_name="berlin", last_stage="compute_depthmaps",
         total += dt
         if name == "reconstruct":
             times["reconstruct_dispatches"] = context.dispatch_counts()
+        times["total"] = round(total, 2)
+        if on_stage is not None:
+            on_stage(times)
     times["total"] = round(total, 2)
     recs = data.load_reconstruction()
     times["shots"] = len(recs[0].shots) if recs else 0
@@ -484,11 +552,31 @@ def main() -> None:
     import jax.numpy as jnp
 
     extra = {}
-    # Global deadline: the driver gives the bench a bounded window; the
-    # cheap, headline lanes run first and each optional heavy lane checks
-    # the remaining budget before starting (skipped lanes are recorded).
+    # Global deadline: the driver gives the bench a bounded window (round 4
+    # proved the window < 24 min: BENCH_r04.json rc=124, parsed=null).  Two
+    # defenses (VERDICT r4 next-round #1):
+    #   1. the CUMULATIVE result JSON is re-printed after EVERY completed
+    #      lane (and every completed e2e stage), so a kill at any point
+    #      leaves the latest partial result as the last parsable line;
+    #   2. the default budget targets a ~13-minute full run; heavy lanes
+    #      check the remaining budget before starting and are recorded as
+    #      skipped rather than silently dying.
     t_bench0 = time.time()
-    budget_total = float(os.environ.get("BENCH_BUDGET_S", "3300"))
+    budget_total = float(os.environ.get("BENCH_BUDGET_S", "780"))
+    ceres_cpu_estimate = 1.0  # LM iter/s, Ceres SPARSE_SCHUR, workstation CPU
+    result = {
+        "metric": "ba_iterations_per_s",
+        "value": None,
+        "unit": "trial/s",
+        "vs_baseline": None,
+        "extra": extra,
+    }
+
+    def emit() -> None:
+        """Print the full cumulative record as one JSON line (the driver
+        parses the LAST parsable line of the tail)."""
+        extra["bench_wall_s"] = round(time.time() - t_bench0, 1)
+        print(json.dumps(result), flush=True)
 
     def remaining() -> float:
         return budget_total - (time.time() - t_bench0)
@@ -500,9 +588,21 @@ def main() -> None:
             return True
         return False
 
-    # Build both lanes first (compile outside the timed region), then run
-    # them INTERLEAVED with the matmul-peak calibration 3x.
+    # ---- Lane 1 (headline): dense BA trials, interleaved with the matmul
+    # peak calibration 3x (the chip is time-shared behind the tunnel).
+    # The FIRST emit happens right after the small lane's first run so a
+    # very tight driver window still captures the headline metric
+    # (cold-cache compiles put the r5 first full-lane emit at ~8 min).
     run_small, counts_small = make_ba_lane(jax, jnp, 64, 8192, trials=20)
+    rates_small = [run_small()]
+    ba_rate = float(np.median(rates_small))
+    result["value"] = round(ba_rate, 2)
+    result["vs_baseline"] = round(ba_rate / ceres_cpu_estimate, 2)
+    extra["lane_definition"] = (
+        "full LM damping trial: _lm_step + _total_cost + accept/reject"
+    )
+    emit()
+
     try:
         run_large, counts_large = make_ba_lane(
             jax, jnp, 256, 32768, trials=5
@@ -511,8 +611,8 @@ def main() -> None:
         print(f"large BA lane setup failed: {e}", file=sys.stderr)
         run_large, counts_large = None, None
 
-    peaks, rates_small, rates_large = [], [], []
-    for rep in range(5):
+    peaks, rates_large = [], []
+    for rep in range(3):
         try:
             peaks.append(measure_matmul_peak(jax, jnp))
         except Exception as e:  # pragma: no cover
@@ -522,9 +622,8 @@ def main() -> None:
             rates_large.append(run_large())
 
     ba_rate = float(np.median(rates_small))
-    extra["lane_definition"] = (
-        "full LM damping trial: _lm_step + _total_cost + accept/reject"
-    )
+    result["value"] = round(ba_rate, 2)
+    result["vs_baseline"] = round(ba_rate / ceres_cpu_estimate, 2)
     extra["ba_trial_rate_spread"] = [round(r, 2) for r in rates_small]
     if peaks:
         peak = float(np.max(peaks))
@@ -534,8 +633,20 @@ def main() -> None:
         ]
     else:
         peak = None
+    if rates_large:
+        extra["ba_iterations_per_s_large"] = round(
+            float(np.median(rates_large)), 2
+        )
+        extra["ba_large_trial_rate_spread"] = [
+            round(r, 2) for r in rates_large
+        ]
+    emit()
 
-    c_slot, flop_meta = calibrate_flops(counts_small)
+    # ---- Lane 2: MFU accounting (XLA cost-analysis cross-check runs in a
+    # CPU subprocess).
+    c_slot, flop_meta = calibrate_flops(
+        counts_small, timeout=max(60, min(300, remaining()))
+    )
     extra["flop_model"] = flop_meta
     datasheet = _device_peak(jax.devices()[0])
 
@@ -563,97 +674,126 @@ def main() -> None:
     _, blk = mfu_block("ba_", rates_small, counts_small)
     extra.update(blk)
     if rates_large:
-        large_rate, blk = mfu_block("ba_large_", rates_large, counts_large)
-        extra["ba_iterations_per_s_large"] = round(large_rate, 2)
-        extra["ba_large_trial_rate_spread"] = [
-            round(r, 2) for r in rates_large
-        ]
+        _, blk = mfu_block("ba_large_", rates_large, counts_large)
         extra.update(blk)
+    emit()
 
+    # ---- Lane 3: the scale path on this chip — assembled-Schur sharded
+    # step (moderate camera counts) and matrix-free CG, plain + the
+    # round-4 variants (rig/up/depth — VERDICT r4 weak #5).
     try:
-        cg_rate, cg_meta = bench_cg(jax, jnp)
-        extra["ba_cg_trials_per_s"] = round(cg_rate, 3)
-        extra["ba_cg_lane"] = cg_meta
+        schur_rate, schur_meta = bench_schur_sharded(jax, jnp)
+        extra["ba_schur_sharded_trials_per_s"] = round(schur_rate, 2)
+        extra["ba_schur_sharded_lane"] = schur_meta
         if rates_large:
-            extra["cg_vs_dense_large"] = round(
-                cg_rate / float(np.median(rates_large)), 3
+            extra["schur_sharded_vs_dense_large"] = round(
+                schur_rate / float(np.median(rates_large)), 3
             )
+        emit()
     except Exception as e:  # pragma: no cover
-        print(f"CG bench failed: {e}", file=sys.stderr)
-
-    try:
-        frame_rates, n_feats = bench_features(jax, jnp)
-        extra["feature_frames_per_s"] = round(frame_rates["dog"], 2)
-        extra["feature_frames_per_s_hahog"] = round(frame_rates["hahog"], 2)
-        extra["feature_count_1024px"] = int(n_feats)
-    except Exception as e:  # pragma: no cover
-        print(f"feature bench failed: {e}", file=sys.stderr)
-    try:
-        extra["matching_pairs_per_s"] = round(bench_matching(jax, jnp), 2)
-    except Exception as e:  # pragma: no cover
-        print(f"matching bench failed: {e}", file=sys.stderr)
-
-    if not skip("cpu_mesh_scaling", 500):
+        print(f"assembled-Schur bench failed: {e}", file=sys.stderr)
+    for variant in ("plain", "rig", "up", "depth"):
+        if skip(f"ba_cg_{variant}", 45 if variant != "plain" else 60):
+            emit()
+            continue
         try:
-            # Multi-device CG-path scaling lanes on the CPU mesh
-            # (subprocess; the TPU process keeps its platform): partition
-            # overhead, 2-process jax.distributed strong scaling, psum
-            # payloads.
-            extra["cpu_mesh_scaling"] = _subprocess_lane(
-                "bench_scaling.py", ["8"], min(1800, remaining())
+            cg_rate, cg_meta = bench_cg(jax, jnp, variant=variant)
+            if variant == "plain":
+                extra["ba_cg_trials_per_s"] = round(cg_rate, 3)
+                extra["ba_cg_lane"] = cg_meta
+                if rates_large:
+                    extra["cg_vs_dense_large"] = round(
+                        cg_rate / float(np.median(rates_large)), 3
+                    )
+            else:
+                extra[f"ba_cg_trials_per_s_{variant}"] = round(cg_rate, 3)
+            emit()
+        except Exception as e:  # pragma: no cover
+            print(f"CG bench ({variant}) failed: {e}", file=sys.stderr)
+
+    # ---- Lane 4: feature extraction + matching hot loops.
+    if not skip("feature_frames_per_s", 60):
+        try:
+            frame_rates, n_feats = bench_features(jax, jnp)
+            extra["feature_frames_per_s"] = round(frame_rates["dog"], 2)
+            extra["feature_frames_per_s_hahog"] = round(
+                frame_rates["hahog"], 2
+            )
+            extra["feature_count_1024px"] = int(n_feats)
+        except Exception as e:  # pragma: no cover
+            print(f"feature bench failed: {e}", file=sys.stderr)
+        emit()
+    if not skip("matching_pairs_per_s", 30):
+        try:
+            extra["matching_pairs_per_s"] = round(
+                bench_matching(jax, jnp), 2
             )
         except Exception as e:  # pragma: no cover
-            print(f"scaling bench failed: {e}", file=sys.stderr)
+            print(f"matching bench failed: {e}", file=sys.stderr)
+        emit()
 
-    if not skip("scale_xl", 700):
+    # ---- Lane 5: full pipeline ON the TPU backend, per-stage preemptible
+    # (every completed stage re-emits the cumulative record).  Flips x64
+    # on in-process, so it must come after all other device lanes; the
+    # remaining lanes are CPU subprocesses.
+    if not skip("e2e_berlin_tpu", 120):
         try:
-            # Extra-large lane past the dense ceiling: >=2048 shots /
-            # >=256k points / >=10M obs on the 8-device CPU mesh
-            # (VERDICT r3 item 2).
-            extra["scale_xl"] = _subprocess_lane(
-                "bench_scale_xl.py", [], min(3000, remaining())
-            )
-        except Exception as e:  # pragma: no cover
-            print(f"scale_xl bench failed: {e}", file=sys.stderr)
+            def on_stage(times):
+                extra["e2e_berlin_tpu"] = dict(times)
+                emit()
 
-    if not skip("e2e_berlin_stage_seconds", 300):
-        try:
-            # End-to-end wall-clock lane: berlin per stage, CPU backend
-            # (subprocess so the main process keeps its platform).
-            extra["e2e_berlin_stage_seconds"] = _subprocess_lane(
-                "bench_e2e.py", [], min(1200, remaining())
-            )
-        except Exception as e:  # pragma: no cover
-            print(f"e2e bench failed: {e}", file=sys.stderr)
-
-    # TPU-backend e2e lane LAST (it flips x64 on in-process).
-    if not skip("e2e_berlin_tpu", 600):
-        try:
             extra["e2e_berlin_tpu"] = bench_e2e_device(
                 "berlin", "compute_depthmaps",
-                budget_s=min(1200, remaining()),
+                budget_s=max(60, remaining() - 240),
+                on_stage=on_stage,
             )
         except Exception as e:  # pragma: no cover
             print(f"TPU e2e berlin failed: {e}", file=sys.stderr)
+        emit()
     # (No lund-on-TPU lane: a 29-image growth loop through the tunneled
     # chip runs 30-60+ min — one un-preemptible stage would blow the
     # driver's bench window.  The berlin TPU lane above carries the
     # full-pipeline-on-TPU + dispatch-count evidence; lund runs in the
     # CPU test suite.)
-    extra["bench_wall_s"] = round(time.time() - t_bench0, 1)
 
-    ceres_cpu_estimate = 1.0  # LM iter/s, Ceres SPARSE_SCHUR, workstation CPU
-    print(
-        json.dumps(
-            {
-                "metric": "ba_iterations_per_s",
-                "value": round(ba_rate, 2),
-                "unit": "trial/s",
-                "vs_baseline": round(ba_rate / ceres_cpu_estimate, 2),
-                "extra": extra,
-            }
-        )
-    )
+    # ---- Lane 6: multi-device scaling lanes on the CPU mesh (subprocess;
+    # the TPU process keeps its platform): partition overhead, 2-process
+    # jax.distributed strong scaling (dense compute-bound lane + CG lane),
+    # psum payloads -> predicted ICI comm fraction.
+    if not skip("cpu_mesh_scaling", 150):
+        try:
+            extra["cpu_mesh_scaling"] = _subprocess_lane(
+                "bench_scaling.py", ["8"], max(120, remaining() - 30)
+            )
+        except Exception as e:  # pragma: no cover
+            print(f"scaling bench failed: {e}", file=sys.stderr)
+        emit()
+
+    # ---- Optional heavy lanes, only with budget left (a larger
+    # BENCH_BUDGET_S runs them; the default prioritizes the lanes above).
+    if not skip("scale_xl", 500):
+        try:
+            # Extra-large lane past the dense ceiling: >=2048 shots /
+            # >=256k points / >=10M obs on the 8-device CPU mesh
+            # (VERDICT r3 item 2).
+            extra["scale_xl"] = _subprocess_lane(
+                "bench_scale_xl.py", [], max(300, remaining())
+            )
+        except Exception as e:  # pragma: no cover
+            print(f"scale_xl bench failed: {e}", file=sys.stderr)
+        emit()
+
+    if not skip("e2e_berlin_stage_seconds", 400):
+        try:
+            # End-to-end wall-clock lane: berlin per stage, CPU backend
+            # (subprocess so the main process keeps its platform).
+            extra["e2e_berlin_stage_seconds"] = _subprocess_lane(
+                "bench_e2e.py", [], max(300, remaining())
+            )
+        except Exception as e:  # pragma: no cover
+            print(f"e2e bench failed: {e}", file=sys.stderr)
+
+    emit()
 
 
 if __name__ == "__main__":

@@ -604,6 +604,9 @@ def _solve_full_bundle(problem, config: Dict[str, Any], n_shots: int):
                     cg_iters=int(
                         config.get("bundle_distributed_cg_iters", 100)
                     ),
+                    solver=str(
+                        config.get("bundle_distributed_solver", "auto")
+                    ).lower(),
                 )
             logger.info(
                 "Distributed BA unavailable (%s); using the "

@@ -168,6 +168,11 @@ DEFAULTS: Dict[str, Any] = dict(
     bundle_distributed="auto",
     bundle_distributed_min_shots=100,
     bundle_distributed_cg_iters=100,
+    # Sharded solver choice: "schur" assembles the reduced camera system
+    # and psums it once per trial (fast at moderate camera counts), "cg"
+    # is matrix-free preconditioned CG (scales past a few thousand
+    # cameras; ~6 KB psum per iteration), "auto" picks by assembly cost.
+    bundle_distributed_solver="auto",
     filter_final_point_cloud=False,
     save_partial_reconstructions=False,
     # Merge partial reconstructions that share >=10 triangulated tracks

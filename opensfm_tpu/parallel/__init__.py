@@ -14,6 +14,7 @@ from opensfm_tpu.parallel.distributed_ba import (  # noqa: F401
     make_sharded_cost,
     make_sharded_lm_step,
     make_sharded_lm_step_dense,
+    make_sharded_schur_lm_step,
     shard_problem,
     shard_problem_dense,
 )

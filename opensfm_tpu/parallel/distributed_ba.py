@@ -103,9 +103,16 @@ def shard_problem(problem: BAProblem, n_shards: int) -> BAProblem:
             + (win_in_shard[pts] + slot_in_point // T_w) * T_w
             + slot_in_point % T_w
         )
-        # virt2real: GLOBAL point id per window row; padding windows point
-        # at the shard's first point (their rows carry zero weight).
-        virt2real = np.repeat(shard_point0, win_per_shard)
+        # virt2real: GLOBAL point id per window row; padding windows (at
+        # the tail of each shard's window range) point at the shard's
+        # LAST point so the per-shard map stays non-decreasing — the CG
+        # step's segment_sum/take calls declare indices_are_sorted=True,
+        # which must be genuinely true (ADVICE r4: first-point padding
+        # violated the guarantee).  Padding rows carry zero weight either
+        # way.
+        virt2real = np.repeat(
+            shard_point0 + pts_per_shard - 1, win_per_shard
+        )
         p_nz = np.flatnonzero(n_win > 0)
         if len(p_nz):
             rep_pts = np.repeat(p_nz, n_win[p_nz])
@@ -139,10 +146,20 @@ def shard_problem(problem: BAProblem, n_shards: int) -> BAProblem:
     obs_uv = alloc((O_new, 2))
     obs_inv_sd = alloc(O_new)
     # Padding rows keep obs_point pointing at a shard-local point so segment
-    # sums stay shard-local.
-    obs_point = np.repeat(
-        np.arange(n_shards, dtype=np.int64) * pts_per_shard, obs_per_shard
-    )
+    # sums stay shard-local — AND the whole per-shard array must stay
+    # non-decreasing, because the step's segment_sum/take calls declare
+    # indices_are_sorted=True (ADVICE r4).  Windowed layout: every slot
+    # carries its window's owner point (padding slots inside a real
+    # window inherit the owner; padding windows carry the shard's last
+    # point).  Plain layout: padding rows sit at each shard block's tail
+    # and carry the shard's LAST point.
+    if use_windows:
+        obs_point = np.repeat(virt2real, T_w)
+    else:
+        obs_point = np.repeat(
+            np.arange(1, n_shards + 1, dtype=np.int64) * pts_per_shard - 1,
+            obs_per_shard,
+        )
     obs_inst = alloc(O_new, np.int64)
     obs_rigcam = alloc(O_new, np.int64)
     obs_cam = alloc(O_new, np.int64)
@@ -652,6 +669,349 @@ def _acc_dtype(dtype):
     return jnp.float64 if jax.config.jax_enable_x64 else dtype
 
 
+def _linearize_local(a, *, ptype, pmax, ni, nc, nr, loss, loss_threshold,
+                     rig_mode, with_depth, has_up, has_ang, win, axis,
+                     onehot_ok):
+    """Shared per-shard linearization for the sharded CG and assembled-
+    Schur LM steps: robust-whitened residuals + Jacobians over the local
+    observation shard, the local point systems (damped Hpp, bp, Hpp_inv),
+    the replicated prior families (GPS / camera / rig-camera priors,
+    up-vector + pan/tilt/roll shot rows, divided by device count for the
+    psum), the Schur RHS b (pre-psum), and the layout closures
+    (preduce/pgather point reductions, sel_*/red_* camera-side one-hot or
+    segment ops).  Returns a SimpleNamespace; see the field assignments.
+    """
+    from types import SimpleNamespace
+
+    rig_opt = rig_mode == "opt"
+    inst, cam, points = a["inst"], a["cam"], a["points"]
+    lam = a["lam"]
+    dtype = points.dtype
+    acc = _acc_dtype(dtype)
+    rigcam = a.get("rigcam")
+    if rigcam is None:
+        rigcam = jnp.zeros((1, 6), dtype)
+    obs_inst, obs_cam = a["obs_inst"], a["obs_cam"]
+    obs_rigcam = a.get("obs_rigcam")
+    if obs_rigcam is None:
+        obs_rigcam = jnp.zeros_like(obs_inst)
+    opt_inst = a["opt_inst"]
+    opt_cam_mask = a["opt_cam"]
+    opt_points = a["opt_points"]
+    opt_rigcam = a.get("opt_rigcam")
+    np_local = points.shape[0]
+    local_point = a["obs_point"] - a["point_base"][0]
+
+    # --- residuals + Jacobians over the local shard -------------------
+    def one(uv, inv_sd, pi, ii, ri, ci, dval, dinv, drad):
+        if rig_opt:
+            combo = jnp.concatenate([inst[ii], rigcam[ri], cam[ci]])
+        else:
+            combo = jnp.concatenate([inst[ii], cam[ci]])
+        rc6 = rigcam[ri]  # constant under jacfwd unless rig_opt
+
+        def res_fn(combo_, X_):
+            Xi = rot.rotate(combo_[0:3], X_) + combo_[3:6]
+            if rig_opt:
+                Xc = rot.rotate(combo_[6:9], Xi) + combo_[9:12]
+                cp = combo_[12:12 + pmax]
+            elif rig_mode == "fixed":
+                Xc = rot.rotate(rc6[:3], Xi) + rc6[3:6]
+                cp = combo_[6:6 + pmax]
+            else:
+                Xc = Xi
+                cp = combo_[6:6 + pmax]
+            pred = cam_lib.project(ptype, Xc, cp, xp=jnp)
+            diff = pred - uv
+            if ptype == "spherical":
+                diff = diff - jnp.round(diff)
+            out = diff * inv_sd
+            if with_depth:
+                norm = jnp.sqrt(jnp.sum(Xc * Xc) + 1e-30)
+                pd = jnp.where(drad, norm, Xc[2])
+                out = jnp.concatenate([out, ((pd - dval) * dinv)[None]])
+            return out
+
+        X = points[pi]
+        return (
+            res_fn(combo, X),
+            jax.jacfwd(res_fn, argnums=0)(combo, X),
+            jax.jacfwd(res_fn, argnums=1)(combo, X),
+        )
+
+    dz = jnp.zeros_like(a["obs_inv_sd"])
+    r, Jc_all, Jp = jax.vmap(one)(
+        a["obs_uv"], a["obs_inv_sd"], local_point, obs_inst, obs_rigcam,
+        obs_cam, a.get("obs_depth", dz), a.get("obs_depth_inv_sd", dz),
+        a.get("obs_depth_radial", dz.astype(bool)),
+    )
+    # Robust IRLS weights: the projection rows share one weight from
+    # the 2-row squared norm; the depth row carries its own
+    # (RelativeDepthError is a separate Ceres block sharing the
+    # projection loss — lm._residual_data semantics).
+    rho, drho = LOSSES[loss]
+    a2 = loss_threshold * loss_threshold
+    s_proj = jnp.sum(r[:, :2] * r[:, :2], axis=-1)
+    w_proj = drho(s_proj / a2)
+    if with_depth:
+        w_dep = drho(r[:, 2] * r[:, 2] / a2)
+        w = jnp.stack([w_proj, w_proj, w_dep], axis=1)
+    else:
+        w = jnp.broadcast_to(w_proj[:, None], r.shape)
+    sw = jnp.sqrt(jnp.maximum(w, 1e-12))
+    r = r * sw
+    Jc_all = Jc_all * sw[..., None]
+    Jp = Jp * sw[..., None]
+
+    # Fixed-parameter masking (identity rows become dx == 0).
+    opt_i6 = opt_inst[:, None].astype(dtype) * jnp.ones((1, 6), dtype)
+    opt_cp = opt_cam_mask.astype(dtype)  # [NC, pmax]
+    Ji = Jc_all[:, :, 0:6] * opt_i6[obs_inst][:, None, :]
+    if rig_opt:
+        opt_r6 = (
+            opt_rigcam[:, None].astype(dtype) * jnp.ones((1, 6), dtype)
+        )
+        Jr = Jc_all[:, :, 6:12] * opt_r6[obs_rigcam][:, None, :]
+        Jcam = (
+            Jc_all[:, :, 12:12 + pmax] * opt_cp[obs_cam][:, None, :]
+        )
+    else:
+        opt_r6 = jnp.zeros((0, 6), dtype)
+        Jr = None
+        Jcam = Jc_all[:, :, 6:6 + pmax] * opt_cp[obs_cam][:, None, :]
+    Jp = Jp * opt_points[local_point][:, None, None].astype(dtype)
+
+    # --- one-hot selectors for the camera-side index ops ---------------
+    # On TPU, index gathers and segment_sums dominate (measured r4 at the
+    # 256-cam/262k-obs lane: 1.8 ms gathers + 5.6 ms camera-side scatters
+    # per CG iteration, vs 0.024 ms / 1.4 ms as one-hot matmuls on the
+    # MXU).  The [O, NI] one-hots are loop-invariant (built once per LM
+    # step) but cost O(O*N) HBM, so they only serve moderate-camera-count
+    # problems — gated statically on the materialized size; gather/
+    # scatter remains the fallback (and the CPU path, where segment_sum
+    # wins).
+    O_local = obs_inst.shape[0]
+    esize = jnp.zeros((), dtype).dtype.itemsize
+    oh_cols = ni + nc + (nr if rig_opt else 0)
+    use_onehot = onehot_ok and O_local * oh_cols * esize <= (512 << 20)
+    if use_onehot:
+        oh_i = (obs_inst[:, None]
+                == jnp.arange(ni)[None, :]).astype(dtype)
+        oh_c = (obs_cam[:, None]
+                == jnp.arange(nc)[None, :]).astype(dtype)
+        oh_r = (
+            (obs_rigcam[:, None]
+             == jnp.arange(nr)[None, :]).astype(dtype)
+            if rig_opt else None
+        )
+    else:
+        oh_i = oh_c = oh_r = None
+
+    def _contract0(oh, s):
+        return jax.lax.dot_general(
+            oh, s, (((0,), (0,)), ((), ())),
+            preferred_element_type=dtype,
+        )
+
+    def sel_i(v):
+        return oh_i @ v if use_onehot else v[obs_inst]
+
+    def sel_c(v):
+        return oh_c @ v if use_onehot else v[obs_cam]
+
+    def sel_r(v):
+        return oh_r @ v if use_onehot else v[obs_rigcam]
+
+    def red_i(s):
+        if use_onehot:
+            return _contract0(oh_i, s)
+        return jax.ops.segment_sum(s, obs_inst, num_segments=ni)
+
+    def red_c(s):
+        if use_onehot:
+            return _contract0(oh_c, s)
+        return jax.ops.segment_sum(s, obs_cam, num_segments=nc)
+
+    def red_r(s):
+        if use_onehot:
+            return _contract0(oh_r, s)
+        return jax.ops.segment_sum(s, obs_rigcam, num_segments=nr)
+
+    # --- point-side reductions -----------------------------------------
+    # Windowed layout (shard_problem cg_window): [n_win, win]
+    # reshape-sums + a tiny sorted window->point segment-sum replace
+    # the O-sized scatter; the inverse is a window take + broadcast
+    # instead of an O-sized gather.
+    if win > 0:
+        n_win_local = O_local // win
+        v2r_local = a["virt2real"] - a["point_base"][0]
+
+        def preduce(s):
+            sw_ = s.reshape((n_win_local, win) + s.shape[1:]).sum(axis=1)
+            return jax.ops.segment_sum(
+                sw_, v2r_local, num_segments=np_local,
+                indices_are_sorted=True,
+            )
+
+        def pgather(w_):
+            wv = jnp.take(
+                w_, v2r_local, axis=0, indices_are_sorted=True
+            )
+            return jnp.broadcast_to(
+                wv[:, None], (n_win_local, win) + w_.shape[1:]
+            ).reshape((O_local,) + w_.shape[1:])
+    else:
+        n_win_local = 0
+        v2r_local = None
+
+        def preduce(s):
+            return jax.ops.segment_sum(
+                s, local_point, num_segments=np_local,
+                indices_are_sorted=True,
+            )
+
+        def pgather(w_):
+            return jnp.take(
+                w_, local_point, axis=0, indices_are_sorted=True
+            )
+
+    # --- point system --------------------------------------------------
+    Hpp = preduce(jnp.einsum("oki,okj->oij", Jp, Jp))
+    bp = preduce(jnp.einsum("oki,ok->oi", Jp, r))
+    # Point position priors (GCPs) are shard-local diagonal additions.
+    pp_H, pp_rhs = _point_prior_terms(
+        points, a["point_prior"], a["point_prior_inv_sd"],
+        a["point_prior_loss"],
+    )
+    Hpp = Hpp + jax.vmap(jnp.diag)(pp_H)
+    bp = bp + pp_rhs
+    eye3 = jnp.eye(3, dtype=dtype)
+    # Floor scaled to the working precision: 1e-12 is below f32 eps at
+    # the typical Hpp diagonal scale.
+    floor = 1e-12 if dtype == jnp.float64 else 1e-6
+    Hpp = Hpp + lam * jax.vmap(jnp.diag)(
+        jnp.diagonal(Hpp, axis1=1, axis2=2)
+    ) + floor * eye3
+    Hpp_inv = tpu_linalg.inv3(Hpp) * opt_points[:, None, None].astype(dtype)
+
+    n_dev = jax.lax.psum(jnp.ones((), dtype=dtype), axis)
+
+    # --- GPS prior blocks (replicated; divide for the psum) ------------
+    def gps_one(inst6, pos, inv):
+        def f(x):
+            return (-rot.rotate(-x[:3], x[3:6]) - pos) * inv
+
+        return f(inst6), jax.jacfwd(f)(inst6)
+
+    gr, gJ = jax.vmap(gps_one)(
+        inst, a["gps_pos"], a["gps_inv_sd"][:, None]
+    )
+    gJ = gJ * opt_i6[:, None, :]
+    gps_blocks = jnp.einsum("nki,nkj->nij", gJ, gJ) / n_dev  # [NI,6,6]
+    gps_rhs = jnp.einsum("nki,nk->ni", gJ, gr) / n_dev
+
+    # --- camera parameter prior rows (replicated; divide for psum) -----
+    def cprior_one(camP, prior, inv_sd, log_mask):
+        def f(x):
+            return _cam_prior_residual(x, prior, inv_sd, log_mask)
+
+        return f(camP), jax.jacfwd(f)(camP)
+
+    cp_r, cp_J = jax.vmap(cprior_one)(
+        cam, a["cam_prior"], a["cam_prior_inv_sd"], a["cam_log_mask"]
+    )
+    cp_J = cp_J * opt_cp[:, None, :]
+    cprior_blocks = jnp.einsum("nki,nkj->nij", cp_J, cp_J) / n_dev
+    cprior_rhs = jnp.einsum("nki,nk->ni", cp_J, cp_r) / n_dev
+
+    # --- rig camera value-space prior rows (DataPriorError) ------------
+    if rig_opt:
+        def rcprior_one(r6, prior, inv):
+            def f(x):
+                return (x - prior) * inv
+
+            return f(r6), jax.jacfwd(f)(r6)
+
+        rc_r, rc_J = jax.vmap(rcprior_one)(
+            rigcam, a["rigcam_prior"], a["rigcam_prior_inv_sd"]
+        )
+        rc_J = rc_J * opt_r6[:, None, :]
+        rcprior_blocks = jnp.einsum("nki,nkj->nij", rc_J, rc_J) / n_dev
+        rcprior_rhs = jnp.einsum("nki,nk->ni", rc_J, rc_r) / n_dev
+    else:
+        rcprior_blocks = rcprior_rhs = None
+
+    # --- replicated shot rows (up-vector / pan-tilt-roll, Cauchy(1)) ---
+    # Each row couples ONE instance and ONE rig camera, so its exact
+    # Gauss-Newton action factors through per-row [M,6] blocks applied
+    # in the matvec (aggregation per block would drop the inst<->rigcam
+    # cross terms when rig cameras are optimized).
+    shot_rows = []
+    if has_up or has_ang:
+        from opensfm_tpu.ba import lm as _lm
+
+        for r_u, Ji_u, Jr_u, idx_i, idx_r in _lm._shot_prior_residuals(
+            (inst, rigcam), _shot_row_data(a)
+        ):
+            Ji_u = Ji_u * opt_inst[idx_i].astype(dtype)[:, None, None]
+            Jr_m = (
+                Jr_u * opt_rigcam[idx_r].astype(dtype)[:, None, None]
+                if rig_opt else None
+            )
+            shot_rows.append((r_u, Ji_u, Jr_m, idx_i, idx_r))
+
+    # --- RHS: b = Jc^T r - Gamma Hpp^-1 bp -----------------------------
+    Hib = jnp.einsum("pij,pj->pi", Hpp_inv, bp)
+    t_rhs = r - jnp.einsum("okj,oj->ok", Jp, pgather(Hib))
+    # Priors also feed the Schur RHS through the point coupling: the
+    # GCP rhs is inside bp, so t_rhs above already carries it.
+    b_i = jax.ops.segment_sum(
+        jnp.einsum("oki,ok->oi", Ji, t_rhs), obs_inst, num_segments=ni
+    ) + gps_rhs
+    b_c = jax.ops.segment_sum(
+        jnp.einsum("oki,ok->oi", Jcam, t_rhs), obs_cam, num_segments=nc
+    ) + cprior_rhs
+    if rig_opt:
+        b_r = jax.ops.segment_sum(
+            jnp.einsum("oki,ok->oi", Jr, t_rhs), obs_rigcam,
+            num_segments=nr,
+        ) + rcprior_rhs
+    else:
+        b_r = jnp.zeros((0, 6), dtype)
+    for r_u, Ji_u, Jr_m, idx_i, idx_r in shot_rows:
+        b_i = b_i + jax.ops.segment_sum(
+            jnp.einsum("kmi,km->ki", Ji_u, r_u), idx_i, num_segments=ni
+        ) / n_dev
+        if Jr_m is not None:
+            b_r = b_r + jax.ops.segment_sum(
+                jnp.einsum("kmi,km->ki", Jr_m, r_u), idx_r,
+                num_segments=nr,
+            ) / n_dev
+    # (b psums are left to the caller, fused with its own block psum —
+    # one setup collective per LM step.)
+
+    return SimpleNamespace(
+        inst=inst, rigcam=rigcam, cam=cam, points=points, lam=lam,
+        dtype=dtype, acc=acc, rig_opt=rig_opt,
+        opt_inst=opt_inst, opt_rigcam=opt_rigcam,
+        opt_cam_mask=opt_cam_mask, opt_points=opt_points,
+        opt_i6=opt_i6, opt_cp=opt_cp, opt_r6=opt_r6,
+        obs_inst=obs_inst, obs_rigcam=obs_rigcam, obs_cam=obs_cam,
+        local_point=local_point, np_local=np_local,
+        n_win_local=n_win_local, v2r_local=v2r_local,
+        r=r, Ji=Ji, Jr=Jr, Jcam=Jcam, Jp=Jp,
+        Hpp=Hpp, Hpp_inv=Hpp_inv, bp=bp,
+        preduce=preduce, pgather=pgather,
+        sel_i=sel_i, sel_c=sel_c, sel_r=sel_r,
+        red_i=red_i, red_c=red_c, red_r=red_r,
+        oh_i=oh_i, use_onehot=use_onehot,
+        n_dev=n_dev,
+        gps_blocks=gps_blocks, cprior_blocks=cprior_blocks,
+        rcprior_blocks=rcprior_blocks, shot_rows=shot_rows,
+        b_i=b_i, b_c=b_c, b_r=b_r,
+    )
+
+
 @lru_cache(maxsize=64)
 def make_sharded_cg_lm_step(
     mesh: Mesh,
@@ -699,308 +1059,29 @@ def make_sharded_cg_lm_step(
 
     def local_step(*args):
         a = dict(zip(step_names, args))
-        inst, cam, points = a["inst"], a["cam"], a["points"]
-        lam = a["lam"]
-        dtype = points.dtype
-        acc = _acc_dtype(dtype)
-        rigcam = a.get("rigcam")
-        if rigcam is None:
-            rigcam = jnp.zeros((1, 6), dtype)
-        obs_inst, obs_cam = a["obs_inst"], a["obs_cam"]
-        obs_rigcam = a.get("obs_rigcam")
-        if obs_rigcam is None:
-            obs_rigcam = jnp.zeros_like(obs_inst)
-        opt_inst = a["opt_inst"]
-        opt_cam_mask = a["opt_cam"]
-        opt_points = a["opt_points"]
-        opt_rigcam = a.get("opt_rigcam")
-        np_local = points.shape[0]
-        local_point = a["obs_point"] - a["point_base"][0]
-
-        # --- residuals + Jacobians over the local shard -------------------
-        def one(uv, inv_sd, pi, ii, ri, ci, dval, dinv, drad):
-            if rig_opt:
-                combo = jnp.concatenate([inst[ii], rigcam[ri], cam[ci]])
-            else:
-                combo = jnp.concatenate([inst[ii], cam[ci]])
-            rc6 = rigcam[ri]  # constant under jacfwd unless rig_opt
-
-            def res_fn(combo_, X_):
-                Xi = rot.rotate(combo_[0:3], X_) + combo_[3:6]
-                if rig_opt:
-                    Xc = rot.rotate(combo_[6:9], Xi) + combo_[9:12]
-                    cp = combo_[12:12 + pmax]
-                elif rig_mode == "fixed":
-                    Xc = rot.rotate(rc6[:3], Xi) + rc6[3:6]
-                    cp = combo_[6:6 + pmax]
-                else:
-                    Xc = Xi
-                    cp = combo_[6:6 + pmax]
-                pred = cam_lib.project(ptype, Xc, cp, xp=jnp)
-                diff = pred - uv
-                if ptype == "spherical":
-                    diff = diff - jnp.round(diff)
-                out = diff * inv_sd
-                if with_depth:
-                    norm = jnp.sqrt(jnp.sum(Xc * Xc) + 1e-30)
-                    pd = jnp.where(drad, norm, Xc[2])
-                    out = jnp.concatenate([out, ((pd - dval) * dinv)[None]])
-                return out
-
-            X = points[pi]
-            return (
-                res_fn(combo, X),
-                jax.jacfwd(res_fn, argnums=0)(combo, X),
-                jax.jacfwd(res_fn, argnums=1)(combo, X),
-            )
-
-        dz = jnp.zeros_like(a["obs_inv_sd"])
-        r, Jc_all, Jp = jax.vmap(one)(
-            a["obs_uv"], a["obs_inv_sd"], local_point, obs_inst, obs_rigcam,
-            obs_cam, a.get("obs_depth", dz), a.get("obs_depth_inv_sd", dz),
-            a.get("obs_depth_radial", dz.astype(bool)),
+        L = _linearize_local(
+            a, ptype=ptype, pmax=pmax, ni=ni, nc=nc, nr=nr, loss=loss,
+            loss_threshold=loss_threshold, rig_mode=rig_mode,
+            with_depth=with_depth, has_up=has_up, has_ang=has_ang,
+            win=win, axis=axis,
+            onehot_ok=mesh.devices.flat[0].platform == "tpu",
         )
-        # Robust IRLS weights: the projection rows share one weight from
-        # the 2-row squared norm; the depth row carries its own
-        # (RelativeDepthError is a separate Ceres block sharing the
-        # projection loss — lm._residual_data semantics).
-        rho, drho = LOSSES[loss]
-        a2 = loss_threshold * loss_threshold
-        s_proj = jnp.sum(r[:, :2] * r[:, :2], axis=-1)
-        w_proj = drho(s_proj / a2)
-        if with_depth:
-            w_dep = drho(r[:, 2] * r[:, 2] / a2)
-            w = jnp.stack([w_proj, w_proj, w_dep], axis=1)
-        else:
-            w = jnp.broadcast_to(w_proj[:, None], r.shape)
-        sw = jnp.sqrt(jnp.maximum(w, 1e-12))
-        r = r * sw
-        Jc_all = Jc_all * sw[..., None]
-        Jp = Jp * sw[..., None]
-
-        # Fixed-parameter masking (identity rows become dx == 0).
-        opt_i6 = opt_inst[:, None].astype(dtype) * jnp.ones((1, 6), dtype)
-        opt_cp = opt_cam_mask.astype(dtype)  # [NC, pmax]
-        Ji = Jc_all[:, :, 0:6] * opt_i6[obs_inst][:, None, :]
-        if rig_opt:
-            opt_r6 = (
-                opt_rigcam[:, None].astype(dtype) * jnp.ones((1, 6), dtype)
-            )
-            Jr = Jc_all[:, :, 6:12] * opt_r6[obs_rigcam][:, None, :]
-            Jcam = (
-                Jc_all[:, :, 12:12 + pmax] * opt_cp[obs_cam][:, None, :]
-            )
-        else:
-            opt_r6 = jnp.zeros((0, 6), dtype)
-            Jr = None
-            Jcam = Jc_all[:, :, 6:6 + pmax] * opt_cp[obs_cam][:, None, :]
-        Jp = Jp * opt_points[local_point][:, None, None].astype(dtype)
-
-        # --- one-hot selectors for the CG loop -----------------------------
-        # On TPU, index gathers and segment_sums dominate the matvec
-        # (measured r4 at the 256-cam/262k-obs lane: 1.8 ms gathers +
-        # 5.6 ms camera-side scatters per CG iteration, vs 0.024 ms /
-        # 1.4 ms as one-hot matmuls on the MXU).  The [O, NI] one-hots
-        # are loop-invariant (built once per LM step, reused by every CG
-        # iteration) but cost O(O*N) HBM, so they only serve
-        # moderate-camera-count problems — gated statically on the
-        # materialized size; gather/scatter remains the fallback (and the
-        # CPU path, where segment_sum wins).
-        O_local = obs_inst.shape[0]
-        esize = jnp.zeros((), dtype).dtype.itemsize
-        oh_cols = ni + nc + (nr if rig_opt else 0)
-        use_onehot = (
-            mesh.devices.flat[0].platform == "tpu"
-            and O_local * oh_cols * esize <= (512 << 20)
-        )
-        if use_onehot:
-            oh_i = (obs_inst[:, None]
-                    == jnp.arange(ni)[None, :]).astype(dtype)
-            oh_c = (obs_cam[:, None]
-                    == jnp.arange(nc)[None, :]).astype(dtype)
-            oh_r = (
-                (obs_rigcam[:, None]
-                 == jnp.arange(nr)[None, :]).astype(dtype)
-                if rig_opt else None
-            )
-
-        def _contract0(oh, s):
-            return jax.lax.dot_general(
-                oh, s, (((0,), (0,)), ((), ())),
-                preferred_element_type=dtype,
-            )
-
-        def sel_i(v):
-            return oh_i @ v if use_onehot else v[obs_inst]
-
-        def sel_c(v):
-            return oh_c @ v if use_onehot else v[obs_cam]
-
-        def sel_r(v):
-            return oh_r @ v if use_onehot else v[obs_rigcam]
-
-        def red_i(s):
-            if use_onehot:
-                return _contract0(oh_i, s)
-            return jax.ops.segment_sum(s, obs_inst, num_segments=ni)
-
-        def red_c(s):
-            if use_onehot:
-                return _contract0(oh_c, s)
-            return jax.ops.segment_sum(s, obs_cam, num_segments=nc)
-
-        def red_r(s):
-            if use_onehot:
-                return _contract0(oh_r, s)
-            return jax.ops.segment_sum(s, obs_rigcam, num_segments=nr)
-
-        # --- point-side reductions -----------------------------------------
-        # Windowed layout (shard_problem cg_window): [n_win, win]
-        # reshape-sums + a tiny sorted window->point segment-sum replace
-        # the O-sized scatter; the inverse is a window take + broadcast
-        # instead of an O-sized gather.
-        if win > 0:
-            n_win_local = O_local // win
-            v2r_local = a["virt2real"] - a["point_base"][0]
-
-            def preduce(s):
-                sw = s.reshape((n_win_local, win) + s.shape[1:]).sum(axis=1)
-                return jax.ops.segment_sum(
-                    sw, v2r_local, num_segments=np_local,
-                    indices_are_sorted=True,
-                )
-
-            def pgather(w_):
-                wv = jnp.take(
-                    w_, v2r_local, axis=0, indices_are_sorted=True
-                )
-                return jnp.broadcast_to(
-                    wv[:, None], (n_win_local, win) + w_.shape[1:]
-                ).reshape((O_local,) + w_.shape[1:])
-        else:
-            def preduce(s):
-                return jax.ops.segment_sum(
-                    s, local_point, num_segments=np_local,
-                    indices_are_sorted=True,
-                )
-
-            def pgather(w_):
-                return jnp.take(
-                    w_, local_point, axis=0, indices_are_sorted=True
-                )
-
-        # --- point system --------------------------------------------------
-        Hpp = preduce(jnp.einsum("oki,okj->oij", Jp, Jp))
-        bp = preduce(jnp.einsum("oki,ok->oi", Jp, r))
-        # Point position priors (GCPs) are shard-local diagonal additions.
-        pp_H, pp_rhs = _point_prior_terms(
-            points, a["point_prior"], a["point_prior_inv_sd"],
-            a["point_prior_loss"],
-        )
-        Hpp = Hpp + jax.vmap(jnp.diag)(pp_H)
-        bp = bp + pp_rhs
-        eye3 = jnp.eye(3, dtype=dtype)
-        # Floor scaled to the working precision: 1e-12 is below f32 eps at
-        # the typical Hpp diagonal scale.
-        floor = 1e-12 if dtype == jnp.float64 else 1e-6
-        Hpp = Hpp + lam * jax.vmap(jnp.diag)(
-            jnp.diagonal(Hpp, axis1=1, axis2=2)
-        ) + floor * eye3
-        Hpp_inv = tpu_linalg.inv3(Hpp) * opt_points[:, None, None].astype(dtype)
-
-        n_dev = jax.lax.psum(jnp.ones((), dtype=dtype), axis)
-
-        # --- GPS prior blocks (replicated; divide for the psum) ------------
-        def gps_one(inst6, pos, inv):
-            def f(x):
-                return (-rot.rotate(-x[:3], x[3:6]) - pos) * inv
-
-            return f(inst6), jax.jacfwd(f)(inst6)
-
-        gr, gJ = jax.vmap(gps_one)(
-            inst, a["gps_pos"], a["gps_inv_sd"][:, None]
-        )
-        gJ = gJ * opt_i6[:, None, :]
-        gps_blocks = jnp.einsum("nki,nkj->nij", gJ, gJ) / n_dev  # [NI,6,6]
-        gps_rhs = jnp.einsum("nki,nk->ni", gJ, gr) / n_dev
-
-        # --- camera parameter prior rows (replicated; divide for psum) -----
-        def cprior_one(camP, prior, inv_sd, log_mask):
-            def f(x):
-                return _cam_prior_residual(x, prior, inv_sd, log_mask)
-
-            return f(camP), jax.jacfwd(f)(camP)
-
-        cp_r, cp_J = jax.vmap(cprior_one)(
-            cam, a["cam_prior"], a["cam_prior_inv_sd"], a["cam_log_mask"]
-        )
-        cp_J = cp_J * opt_cp[:, None, :]
-        cprior_blocks = jnp.einsum("nki,nkj->nij", cp_J, cp_J) / n_dev
-        cprior_rhs = jnp.einsum("nki,nk->ni", cp_J, cp_r) / n_dev
-
-        # --- rig camera value-space prior rows (DataPriorError) ------------
-        if rig_opt:
-            def rcprior_one(r6, prior, inv):
-                def f(x):
-                    return (x - prior) * inv
-
-                return f(r6), jax.jacfwd(f)(r6)
-
-            rc_r, rc_J = jax.vmap(rcprior_one)(
-                rigcam, a["rigcam_prior"], a["rigcam_prior_inv_sd"]
-            )
-            rc_J = rc_J * opt_r6[:, None, :]
-            rcprior_blocks = jnp.einsum("nki,nkj->nij", rc_J, rc_J) / n_dev
-            rcprior_rhs = jnp.einsum("nki,nk->ni", rc_J, rc_r) / n_dev
-
-        # --- replicated shot rows (up-vector / pan-tilt-roll, Cauchy(1)) ---
-        # Each row couples ONE instance and ONE rig camera, so its exact
-        # Gauss-Newton action factors through per-row [M,6] blocks applied
-        # in the matvec (aggregation per block would drop the inst<->rigcam
-        # cross terms when rig cameras are optimized).
-        shot_rows = []
-        if has_up or has_ang:
-            from opensfm_tpu.ba import lm as _lm
-
-            for r_u, Ji_u, Jr_u, idx_i, idx_r in _lm._shot_prior_residuals(
-                (inst, rigcam), _shot_row_data(a)
-            ):
-                Ji_u = Ji_u * opt_inst[idx_i].astype(dtype)[:, None, None]
-                Jr_m = (
-                    Jr_u * opt_rigcam[idx_r].astype(dtype)[:, None, None]
-                    if rig_opt else None
-                )
-                shot_rows.append((r_u, Ji_u, Jr_m, idx_i, idx_r))
-
-        # --- RHS: b = Jc^T r - Gamma Hpp^-1 bp -----------------------------
-        Hib = jnp.einsum("pij,pj->pi", Hpp_inv, bp)
-        t_rhs = r - jnp.einsum("okj,oj->ok", Jp, pgather(Hib))
-        # Priors also feed the Schur RHS through the point coupling: the
-        # GCP rhs is inside bp, so t_rhs above already carries it.
-        b_i = jax.ops.segment_sum(
-            jnp.einsum("oki,ok->oi", Ji, t_rhs), obs_inst, num_segments=ni
-        ) + gps_rhs
-        b_c = jax.ops.segment_sum(
-            jnp.einsum("oki,ok->oi", Jcam, t_rhs), obs_cam, num_segments=nc
-        ) + cprior_rhs
-        if rig_opt:
-            b_r = jax.ops.segment_sum(
-                jnp.einsum("oki,ok->oi", Jr, t_rhs), obs_rigcam,
-                num_segments=nr,
-            ) + rcprior_rhs
-        else:
-            b_r = jnp.zeros((0, 6), dtype)
-        for r_u, Ji_u, Jr_m, idx_i, idx_r in shot_rows:
-            b_i = b_i + jax.ops.segment_sum(
-                jnp.einsum("kmi,km->ki", Ji_u, r_u), idx_i, num_segments=ni
-            ) / n_dev
-            if Jr_m is not None:
-                b_r = b_r + jax.ops.segment_sum(
-                    jnp.einsum("kmi,km->ki", Jr_m, r_u), idx_r,
-                    num_segments=nr,
-                ) / n_dev
-        # (b psums fused with the preconditioner-block psum below — one
-        # setup collective per LM step.)
+        inst, rigcam, cam, points = L.inst, L.rigcam, L.cam, L.points
+        lam, dtype, acc = L.lam, L.dtype, L.acc
+        opt_inst, opt_rigcam = L.opt_inst, L.opt_rigcam
+        opt_cam_mask, opt_points = L.opt_cam_mask, L.opt_points
+        opt_i6, opt_cp, opt_r6 = L.opt_i6, L.opt_cp, L.opt_r6
+        obs_inst, obs_rigcam, obs_cam = L.obs_inst, L.obs_rigcam, L.obs_cam
+        local_point, np_local = L.local_point, L.np_local
+        Ji, Jr, Jcam, Jp = L.Ji, L.Jr, L.Jcam, L.Jp
+        Hpp_inv, bp = L.Hpp_inv, L.bp
+        preduce, pgather = L.preduce, L.pgather
+        sel_i, sel_c, sel_r = L.sel_i, L.sel_c, L.sel_r
+        red_i, red_c, red_r = L.red_i, L.red_c, L.red_r
+        n_dev = L.n_dev
+        gps_blocks, cprior_blocks = L.gps_blocks, L.cprior_blocks
+        rcprior_blocks, shot_rows = L.rcprior_blocks, L.shot_rows
+        b_i, b_c, b_r = L.b_i, L.b_c, L.b_r
 
         # --- block-Jacobi preconditioner + damping diagonals ---------------
         G_i = jnp.einsum("oki,okj->oij", Ji, Jp)  # [O,K_i=6,3]
@@ -1213,6 +1294,283 @@ def make_sharded_cg_lm_step(
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+def _chol3(A):
+    """Closed-form lower-Cholesky of [..., 3, 3] SPD (or zero) matrices.
+    Zero blocks (masked points: Hpp_inv * opt_points) factor to ~zero via
+    the eps floor instead of NaN."""
+    eps = 1e-30
+    a11 = jnp.maximum(A[..., 0, 0], eps)
+    l11 = jnp.sqrt(a11)
+    l21 = A[..., 1, 0] / l11
+    l31 = A[..., 2, 0] / l11
+    l22 = jnp.sqrt(jnp.maximum(A[..., 1, 1] - l21 * l21, eps))
+    l32 = (A[..., 2, 1] - l31 * l21) / l22
+    l33 = jnp.sqrt(
+        jnp.maximum(A[..., 2, 2] - l31 * l31 - l32 * l32, eps)
+    )
+    z = jnp.zeros_like(l11)
+    return jnp.stack([
+        jnp.stack([l11, z, z], axis=-1),
+        jnp.stack([l21, l22, z], axis=-1),
+        jnp.stack([l31, l32, l33], axis=-1),
+    ], axis=-2)
+
+
+@lru_cache(maxsize=64)
+def make_sharded_schur_lm_step(
+    mesh: Mesh,
+    axis: str,
+    ptype: str,
+    pmax: int,
+    ni: int,
+    nc: int,
+    loss: str = "SoftLOneLoss",
+    loss_threshold: float = 1.0,
+    nr: int = 1,
+    rig_mode: str = "none",
+    with_depth: bool = False,
+    has_up: bool = False,
+    has_ang: bool = False,
+    win: int = 0,
+):
+    """Assembled-Schur sharded LM step: each shard ASSEMBLES its local
+    contribution to the reduced camera system S = H_cc - H_cp Hpp^-1 H_pc
+    (one dense [D, D] with D = 6*NI [+ 6*NR] + P*NC), psums (S, b) once,
+    and solves the replicated system by Cholesky — no CG iterations.
+
+    Same signature family and argument order as `make_sharded_cg_lm_step`
+    (`_cg_step_names`), same residual families, same damping semantics
+    (lambda on the clamped diagonal), so `bundle_adjust_sharded` swaps
+    solvers freely.  Exact where CG is iterative: one trial costs one
+    collective of D^2 floats instead of cg_iters collectives of ~6 KB.
+
+    The Schur-correction term is ONE big matmul B^T B with
+    B[3p+b, col] = (W_p U_p)[col, b], W_p = H_cp rows of point p and
+    Hpp^-1 = U U^T — the MXU-shaped formulation (the r4 CG decomposition
+    measured 85% of the matvec in gathers/scatters; here the only
+    scatters are once-per-trial segment-sums of the direct blocks).
+    Intended for moderate camera counts: per-trial assembly flops scale
+    as NP_shard * D^2 * 6 (`_schur_eligible` gates the product route;
+    matrix-free CG remains the path beyond).  Replaces the reference's
+    SPARSE_SCHUR Ceres solve (bundle_adjuster.cc:42,595-1121) at
+    distributed scale.
+    """
+    step_names = _cg_step_names(rig_mode, with_depth, has_up, has_ang,
+                                win=win > 0)
+    rig_opt = rig_mode == "opt"
+    nrr = nr if rig_opt else 0
+    off_r = 6 * ni
+    off_c = off_r + 6 * nrr
+    D = off_c + pmax * nc
+
+    def local_step(*args):
+        a = dict(zip(step_names, args))
+        L = _linearize_local(
+            a, ptype=ptype, pmax=pmax, ni=ni, nc=nc, nr=nr, loss=loss,
+            loss_threshold=loss_threshold, rig_mode=rig_mode,
+            with_depth=with_depth, has_up=has_up, has_ang=has_ang,
+            win=win, axis=axis,
+            onehot_ok=mesh.devices.flat[0].platform == "tpu",
+        )
+        dtype, lam = L.dtype, L.lam
+        NL = L.np_local
+        O_local = L.obs_inst.shape[0]
+
+        # --- whitened point-coupling columns B --------------------------
+        U = _chol3(L.Hpp_inv)  # Hpp^-1 = U U^T
+        JpU = jnp.einsum("okj,ojb->okb", L.Jp, L.pgather(U))  # [O,K,3]
+        Fi = jnp.einsum("oki,okb->oib", L.Ji, JpU)  # [O,6,3]
+        Fc = jnp.einsum("oki,okb->oib", L.Jcam, JpU)  # [O,P,3]
+
+        if L.use_onehot and L.n_win_local:
+            # Window matmuls keep the point-instance scatter on the MXU.
+            ohw = L.oh_i.reshape(L.n_win_local, win, ni)
+            Fw = Fi.reshape(L.n_win_local, win, 18)
+            Vw = jnp.einsum("wtn,wtf->wnf", ohw, Fw)
+            Vi = jax.ops.segment_sum(
+                Vw, L.v2r_local, num_segments=NL, indices_are_sorted=True
+            ).reshape(NL, ni, 6, 3)
+        else:
+            key_i = L.local_point * ni + L.obs_inst
+            Vi = jax.ops.segment_sum(
+                Fi.reshape(O_local, 18), key_i, num_segments=NL * ni
+            ).reshape(NL, ni, 6, 3)
+        key_c = L.local_point * nc + L.obs_cam
+        Vc = jax.ops.segment_sum(
+            Fc.reshape(O_local, pmax * 3), key_c, num_segments=NL * nc,
+            indices_are_sorted=nc == 1,
+        ).reshape(NL, nc, pmax, 3)
+        parts = [Vi.transpose(0, 3, 1, 2).reshape(3 * NL, 6 * ni)]
+        if rig_opt:
+            Fr = jnp.einsum("oki,okb->oib", L.Jr, JpU)
+            key_r = L.local_point * nr + L.obs_rigcam
+            Vr = jax.ops.segment_sum(
+                Fr.reshape(O_local, 18), key_r, num_segments=NL * nr,
+            ).reshape(NL, nr, 6, 3)
+            parts.append(Vr.transpose(0, 3, 1, 2).reshape(3 * NL, 6 * nr))
+        parts.append(Vc.transpose(0, 3, 1, 2).reshape(3 * NL, pmax * nc))
+        B = jnp.concatenate(parts, axis=1)  # [3*NL, D]
+        S_corr = jax.lax.dot_general(
+            B, B, (((0,), (0,)), ((), ())),
+            preferred_element_type=dtype,
+        )
+
+        # --- direct blocks (once-per-trial segment sums) ----------------
+        blk_ii = L.red_i(
+            jnp.einsum("oki,okj->oij", L.Ji, L.Ji)
+        ) + L.gps_blocks  # [NI,6,6]
+        blk_cc = L.red_c(
+            jnp.einsum("oki,okj->oij", L.Jcam, L.Jcam)
+        ) + L.cprior_blocks  # [NC,P,P]
+        key_ic = L.obs_inst * nc + L.obs_cam
+        X_ic = jax.ops.segment_sum(
+            jnp.einsum("oki,okj->oij", L.Ji, L.Jcam), key_ic,
+            num_segments=ni * nc,
+        )  # [NI*NC,6,P]
+        if rig_opt:
+            blk_rr = L.red_r(
+                jnp.einsum("oki,okj->oij", L.Jr, L.Jr)
+            ) + L.rcprior_blocks
+            key_ir = L.obs_inst * nr + L.obs_rigcam
+            X_ir = jax.ops.segment_sum(
+                jnp.einsum("oki,okj->oij", L.Ji, L.Jr), key_ir,
+                num_segments=ni * nr,
+            )
+            key_rc = L.obs_rigcam * nc + L.obs_cam
+            X_rc = jax.ops.segment_sum(
+                jnp.einsum("oki,okj->oij", L.Jr, L.Jcam), key_rc,
+                num_segments=nr * nc,
+            )
+        # Replicated shot rows (up-vector / pan-tilt-roll): exact dense
+        # blocks — including the inst<->rigcam cross terms CG applies in
+        # its matvec.
+        xrow_ir = None
+        for r_u, Ji_u, Jr_m, idx_i, idx_r in L.shot_rows:
+            blk_ii = blk_ii + jax.ops.segment_sum(
+                jnp.einsum("kmi,kmj->kij", Ji_u, Ji_u), idx_i,
+                num_segments=ni,
+            ) / L.n_dev
+            if Jr_m is not None:
+                blk_rr = blk_rr + jax.ops.segment_sum(
+                    jnp.einsum("kmi,kmj->kij", Jr_m, Jr_m), idx_r,
+                    num_segments=nr,
+                ) / L.n_dev
+                add = jax.ops.segment_sum(
+                    jnp.einsum("kmi,kmj->kij", Ji_u, Jr_m),
+                    idx_i * nr + idx_r, num_segments=ni * nr,
+                ) / L.n_dev
+                xrow_ir = add if xrow_ir is None else xrow_ir + add
+        if rig_opt and xrow_ir is not None:
+            X_ir = X_ir + xrow_ir
+
+        # --- assemble the local dense reduced system --------------------
+        S = jnp.zeros((D, D), dtype)
+        ar_i = jnp.arange(ni)
+        Zii = jnp.zeros((ni, 6, ni, 6), dtype).at[ar_i, :, ar_i, :].set(
+            blk_ii
+        ).reshape(6 * ni, 6 * ni)
+        S = S.at[:off_r, :off_r].add(Zii)
+        ar_c = jnp.arange(nc)
+        Zcc = jnp.zeros((nc, pmax, nc, pmax), dtype).at[
+            ar_c, :, ar_c, :
+        ].set(blk_cc).reshape(pmax * nc, pmax * nc)
+        S = S.at[off_c:, off_c:].add(Zcc)
+        Xic = X_ic.reshape(ni, nc, 6, pmax).transpose(0, 2, 1, 3).reshape(
+            6 * ni, pmax * nc
+        )
+        S = S.at[:off_r, off_c:].add(Xic)
+        S = S.at[off_c:, :off_r].add(Xic.T)
+        if rig_opt:
+            ar_r = jnp.arange(nr)
+            Zrr = jnp.zeros((nr, 6, nr, 6), dtype).at[
+                ar_r, :, ar_r, :
+            ].set(blk_rr).reshape(6 * nr, 6 * nr)
+            S = S.at[off_r:off_c, off_r:off_c].add(Zrr)
+            Xir = X_ir.reshape(ni, nr, 6, 6).transpose(0, 2, 1, 3).reshape(
+                6 * ni, 6 * nr
+            )
+            S = S.at[:off_r, off_r:off_c].add(Xir)
+            S = S.at[off_r:off_c, :off_r].add(Xir.T)
+            Xrc = X_rc.reshape(nr, nc, 6, pmax).transpose(
+                0, 2, 1, 3
+            ).reshape(6 * nr, pmax * nc)
+            S = S.at[off_r:off_c, off_c:].add(Xrc)
+            S = S.at[off_c:, off_r:off_c].add(Xrc.T)
+        S = S - S_corr
+
+        # --- ONE collective: the reduced system + RHS --------------------
+        m_parts = [L.opt_i6.reshape(-1)]
+        b_parts = [(L.b_i * L.opt_i6).reshape(-1)]
+        if rig_opt:
+            m_parts.append(L.opt_r6.reshape(-1))
+            b_parts.append((L.b_r * L.opt_r6).reshape(-1))
+        m_parts.append(L.opt_cp.reshape(-1))
+        b_parts.append((L.b_c * L.opt_cp).reshape(-1))
+        m = jnp.concatenate(m_parts)
+        b = jnp.concatenate(b_parts)
+        S, b = jax.lax.psum((S, b), axis)
+
+        # --- damp (Marquardt on the clamped diagonal, CG semantics),
+        # identity rows for fixed parameters, replicated Cholesky solve.
+        dg = jnp.clip(jnp.diag(S), 1e-6, 1e32)
+        S = S + jnp.diag(lam * dg + 1e-10)
+        S = S * (m[:, None] * m[None, :]) + jnp.diag(1.0 - m)
+        dx = tpu_linalg.solve_spd(S, b) * m
+
+        dx_i = dx[:off_r].reshape(ni, 6)
+        dx_c = dx[off_c:].reshape(nc, pmax)
+        dx_r = (
+            dx[off_r:off_c].reshape(nr, 6) if rig_opt
+            else jnp.zeros((0, 6), dtype)
+        )
+
+        # --- back-substitute local points --------------------------------
+        t = jnp.einsum("oki,oi->ok", L.Ji, L.sel_i(dx_i)) + jnp.einsum(
+            "oki,oi->ok", L.Jcam, L.sel_c(dx_c)
+        )
+        if rig_opt:
+            t = t + jnp.einsum("oki,oi->ok", L.Jr, L.sel_r(dx_r))
+        u = L.preduce(jnp.einsum("okj,ok->oj", L.Jp, t))
+        dx_p = jnp.einsum("pij,pj->pi", L.Hpp_inv, L.bp - u)
+
+        out = (L.inst - dx_i,)
+        if rig_opt:
+            out = out + (L.rigcam - dx_r,)
+        return out + (L.cam - dx_c, L.points - dx_p)
+
+    from jax import shard_map
+
+    in_specs = tuple(
+        P(axis) if n in _CG_SHARDED else P() for n in step_names
+    )
+    out_specs = (P(),) * (3 if rig_opt else 2) + (P(axis),)
+    sharded = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def _schur_eligible(problem: BAProblem, n_shards: int) -> bool:
+    """Whether the assembled-Schur sharded step is the right solver for
+    this (already sharded) problem: per-trial assembly cost is
+    NP_shard * D^2 * 6 flops for the B^T B contraction plus a [3*NP_shard,
+    D] B matrix in HBM — a few ms at <= ~512 cameras, growing
+    quadratically beyond (matrix-free CG stays the path there — the r4
+    decomposition's crossover).  Gated on flops (<= ~2e11/shard) and B
+    memory (<= ~768 MB/shard)."""
+    ni, nr, nc, npts, O, T = problem.counts()
+    rig_opt = bool(np.asarray(problem.opt_rigcam).any())
+    D = 6 * ni + (6 * nr if rig_opt else 0) + problem.cam.shape[1] * nc
+    np_shard = npts // max(n_shards, 1)
+    flops = np_shard * D * D * 6.0
+    b_bytes = 3 * np_shard * D * 4.0
+    return flops <= 2e11 and b_bytes <= (768 << 20)
 
 
 @lru_cache(maxsize=64)
@@ -1493,15 +1851,23 @@ def bundle_adjust_sharded(
     axis: str = "points",
     cg_iters: int = 100,
     cg_tol: float = 1e-8,
+    solver: str = "auto",
 ):
-    """LM to convergence with the camera-block-sparse CG step sharded over
-    `mesh` (all visible devices by default).
+    """LM to convergence with a sharded Schur step over `mesh` (all
+    visible devices by default).
+
+    `solver`: "schur" = assembled-Schur step (exact reduced solve, one
+    [D, D] psum per trial — the fast path at moderate camera counts),
+    "cg" = matrix-free preconditioned CG on the Schur complement (the
+    path that scales past a few thousand cameras: per-iteration psum is
+    ~6 KB, nothing O(D^2) is ever materialized), "auto" = assembled when
+    `_schur_eligible` says the assembly cost is small, CG otherwise.
 
     Host-side damping loop mirroring lm._lm_solve's policy (accept when
     cost drops, lam/3 on accept, lam*10 on reject, stop at 16 consecutive
     rejects / rel<tol / max_iterations accepts).  The per-trial host sync
-    is amortized: this path is for problems big enough that one CG solve
-    dwarfs a round-trip.
+    is amortized: this path is for problems big enough that one reduced
+    solve dwarfs a round-trip.
 
     Compute runs in f32 by default (SURVEY §7.3: TPU f64 is emulated and
     slow) with f64 accumulation islands for the objective sums and CG dot
@@ -1536,10 +1902,17 @@ def bundle_adjust_sharded(
         nr=nr, rig_mode=rig_mode, with_depth=with_depth, has_up=has_up,
         has_ang=has_ang,
     )
-    step = make_sharded_cg_lm_step(
-        mesh, axis, ptype, pmax, ni, nc, cg_iters=cg_iters, cg_tol=cg_tol,
-        win=win, **kw,
-    )
+    if solver == "auto":
+        solver = "schur" if _schur_eligible(sharded, n_shards) else "cg"
+    if solver == "schur":
+        step = make_sharded_schur_lm_step(
+            mesh, axis, ptype, pmax, ni, nc, win=win, **kw,
+        )
+    else:
+        step = make_sharded_cg_lm_step(
+            mesh, axis, ptype, pmax, ni, nc, cg_iters=cg_iters,
+            cg_tol=cg_tol, win=win, **kw,
+        )
     cost_fn = make_sharded_cost(mesh, axis, ptype, pmax, ni, nc, **kw)
     step_names = _cg_step_names(rig_mode, with_depth, has_up, has_ang,
                                 win=win > 0)

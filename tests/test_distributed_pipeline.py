@@ -333,3 +333,100 @@ def test_incremental_reconstruction_distributed_orientation_prior():
     assert errors["ratio_cameras"] == 1.0
     assert 0 < errors["aligned_position_rmse"] < 0.03
     assert 0 < errors["aligned_rotation_rmse"] < 0.003
+
+# ---------------------------------------------------------------------------
+# Round-5 assembled-Schur sharded path (VERDICT r4 #4): at moderate camera
+# counts the reduced camera system is ASSEMBLED per shard, psum-ed once per
+# trial, and solved exactly by a replicated Cholesky — no CG iterations.
+# ---------------------------------------------------------------------------
+
+
+def _variant_problem(name, n_shots=12, n_points=256, seed=3):
+    p = _make_problem(n_shots=n_shots, n_points=n_points, seed=seed)
+    ni, O = len(p.inst), len(p.obs_uv)
+    if name == "rig_fixed":
+        p.rigcam = np.array([[0.0, 0.02, 0.0, 0.1, 0.0, 0.05]])
+    elif name == "rig_opt":
+        p.rigcam = np.array([[0.0, 0.02, 0.0, 0.1, 0.0, 0.05]])
+        p.opt_rigcam = np.ones(1, bool)
+        p.rigcam_prior = p.rigcam.copy()
+        p.rigcam_prior_inv_sd = np.full((1, 6), 10.0)
+    elif name == "up":
+        p.up_inst = np.arange(ni, dtype=np.int64)
+        p.up_rigcam = np.zeros(ni, dtype=np.int64)
+        p.up_vec = np.tile([0.0, 0.0, 1.0], (ni, 1))
+        p.up_inv_sd = np.full(ni, 10.0)
+    elif name == "depth":
+        p.obs_depth = np.full(O, 10.0)
+        p.obs_depth_inv_sd = np.full(O, 1.0)
+        p.obs_depth_radial = np.zeros(O, bool)
+    return p
+
+
+@pytest.mark.parametrize(
+    "variant", ["plain", "rig_fixed", "rig_opt", "up", "depth"]
+)
+def test_schur_sharded_matches_single_device(variant):
+    """The assembled-Schur sharded solve is EXACT (unlike iterative CG):
+    at f64 on the 8-device mesh it reproduces the single-device dense
+    LM's trajectory to machine precision for every residual-family
+    variant."""
+    from opensfm_tpu.ba.lm import bundle_adjust
+    from opensfm_tpu.parallel import bundle_adjust_sharded
+
+    rd = bundle_adjust(_variant_problem(variant), max_iterations=12)
+    rs = bundle_adjust_sharded(
+        _variant_problem(variant), max_iterations=12, solver="schur",
+        dtype=np.float64,
+    )
+    rel = abs(rs.final_cost - rd.final_cost) / rd.final_cost
+    assert rel < 1e-9, (variant, rs.final_cost, rd.final_cost)
+    assert np.abs(rs.inst - rd.inst).max() < 1e-8
+    assert np.abs(rs.cam - rd.cam).max() < 1e-8
+    if variant == "rig_opt":
+        assert np.abs(rs.rigcam - rd.rigcam).max() < 1e-8
+
+
+def test_schur_eligibility_gate():
+    """`auto` assembles at moderate camera counts and falls back to
+    matrix-free CG when the per-shard assembly cost would dominate."""
+    from opensfm_tpu.parallel.distributed_ba import (
+        _schur_eligible,
+        shard_problem,
+    )
+
+    small = shard_problem(_make_problem(n_shots=12, n_points=256), 8)
+    assert _schur_eligible(small, 8)
+    # A 4096-camera system: D ~ 24.6k, NP_shard * D^2 * 6 >> the flop gate.
+    big = shard_problem(_make_problem(n_shots=12, n_points=256), 1)
+    big.inst = np.zeros((4096, 6))
+    big.opt_inst = np.ones(4096, bool)
+    assert not _schur_eligible(big, 1)
+
+
+def test_incremental_reconstruction_distributed_schur():
+    """Full incremental SfM with every global bundle on the assembled-
+    Schur sharded path (solver forced, fallback poisoned), strict
+    reference bounds (test_reconstruction_incremental.py:37-39)."""
+    from opensfm_tpu import geo
+    from opensfm_tpu.synthetic_data import synthetic_examples, synthetic_scene
+
+    np.random.seed(42)
+    reference = geo.TopocentricConverter(47.0, 6.0, 0)
+
+    def make_scene():
+        data = synthetic_examples.synthetic_circle_scene(reference)
+        return synthetic_scene.SyntheticInputData(
+            data.get_reconstruction(), reference, 40, 1.0, 5.0, 0.1,
+            (0.01, 0.1), False, 0, None,
+        )
+
+    scene, recs = _run_distributed_e2e(
+        make_scene, {"bundle_distributed_solver": "schur"}, gcps={}
+    )
+    from opensfm_tpu.synthetic_data import synthetic_scene as ss
+
+    errors = ss.compare(scene.reconstruction, {}, recs[0])
+    assert errors["ratio_cameras"] == 1.0
+    assert 0 < errors["aligned_position_rmse"] < 0.03
+    assert 0 < errors["aligned_rotation_rmse"] < 0.003
