@@ -14,9 +14,12 @@ import argparse
 import json
 import os
 import posixpath
+import queue
 import sys
+import threading
+import time
 import urllib.parse
-from http.server import HTTPServer, SimpleHTTPRequestHandler
+from http.server import SimpleHTTPRequestHandler, ThreadingHTTPServer
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -160,6 +163,26 @@ def set_position_from_world(manager, dataset_path: str, point_id: str,
     }
 
 
+# --- Server -> client push channel (reference lib/views/web_view.py:74-90:
+# every view holds an event queue drained into a Server-Sent Events
+# stream; state changes broadcast a "sync" event so every open pane
+# refreshes without polling). ---------------------------------------------
+_SSE_CLIENTS: list = []
+_SSE_LOCK = threading.Lock()
+
+
+def broadcast_sync(data=None, event_type="sync") -> None:
+    """Queue an SSE message for every connected client
+    (web_view.py:send_sse_message semantics, incl. the time field)."""
+    payload = dict(data or {})
+    payload["time"] = time.time()
+    msg = f"event: {event_type}\ndata: {json.dumps(payload)}\n\n"
+    with _SSE_LOCK:
+        clients = list(_SSE_CLIENTS)
+    for q in clients:
+        q.put(msg)
+
+
 class AnnotationHandler(SimpleHTTPRequestHandler):
     dataset_path = "."
     manager: GroundControlPointManager = None
@@ -207,7 +230,35 @@ class AnnotationHandler(SimpleHTTPRequestHandler):
             image = urllib.parse.unquote(path[len("/image/"):])
             candidate = os.path.join(self.dataset_path, "images", image)
             return self._serve_file(candidate, "image/jpeg")
+        if path == "/stream":
+            return self._serve_stream()
         self.send_error(404)
+
+    def _serve_stream(self):
+        """Server-Sent Events endpoint: blocks this handler thread on a
+        per-client queue (the server is threading, so other requests keep
+        flowing) and relays every broadcast_sync message."""
+        q: "queue.Queue[str]" = queue.Queue()
+        with _SSE_LOCK:
+            _SSE_CLIENTS.append(q)
+        try:
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+            while True:
+                try:
+                    msg = q.get(timeout=15.0)
+                except queue.Empty:
+                    msg = ": keepalive\n\n"
+                self.wfile.write(msg.encode())
+                self.wfile.flush()
+        except (BrokenPipeError, ConnectionResetError, OSError):
+            pass
+        finally:
+            with _SSE_LOCK:
+                if q in _SSE_CLIENTS:
+                    _SSE_CLIENTS.remove(q)
 
     def _sequences(self):
         """Images grouped by camera id — the reference GUI's per-rig-camera
@@ -243,14 +294,17 @@ class AnnotationHandler(SimpleHTTPRequestHandler):
                 point_id, body["shot_id"], body["projection"]
             )
             m.write_to_file()
+            broadcast_sync({"point_id": point_id})
             return self._json({"ok": True})
         if path == "/remove_observation":
             m.remove_point_observation(body["point_id"], body["shot_id"])
             m.write_to_file()
+            broadcast_sync({"point_id": body["point_id"]})
             return self._json({"ok": True})
         if path == "/remove_point":
             m.remove_point(body["point_id"])
             m.write_to_file()
+            broadcast_sync({"point_id": body["point_id"]})
             return self._json({"ok": True})
         if path == "/set_position":
             m.set_point_position(
@@ -258,6 +312,7 @@ class AnnotationHandler(SimpleHTTPRequestHandler):
                 body.get("altitude"),
             )
             m.write_to_file()
+            broadcast_sync({"point_id": body["point_id"]})
             return self._json({"ok": True})
         if path == "/cad_position":
             return self._json(set_position_from_world(
@@ -316,7 +371,8 @@ def main() -> None:
     AnnotationHandler.manager = GroundControlPointManager(
         AnnotationHandler.dataset_path
     )
-    server = HTTPServer(("0.0.0.0", args.port), AnnotationHandler)
+    # Threading: the SSE stream endpoint holds its handler thread open.
+    server = ThreadingHTTPServer(("0.0.0.0", args.port), AnnotationHandler)
     print(f"Annotating {args.dataset} at http://localhost:{args.port}")
     server.serve_forever()
 

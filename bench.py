@@ -314,17 +314,12 @@ def bench_cg(jax, jnp, n_shots=256, n_points=32768, track_len=8,
     `bundle_adjust_sharded`'s damping loop runs it."""
     from jax.sharding import Mesh
 
-    from opensfm_tpu.parallel import (
-        make_sharded_cg_lm_step,
-        make_sharded_cost,
-        make_sharded_schur_lm_step,
-        shard_problem,
-    )
+    from opensfm_tpu.parallel import shard_problem
     from opensfm_tpu.parallel.distributed_ba import (
         _cg_args,
-        _cg_cost_names,
         _cg_modes,
         _cg_step_names,
+        make_sharded_lm_block,
     )
 
     problem = _cg_variant_problem(variant, n_shots, n_points, track_len)
@@ -334,47 +329,46 @@ def bench_cg(jax, jnp, n_shots=256, n_points=32768, track_len=8,
     ni, nr, nc, npts, O, T = sharded.counts()
     pmax = sharded.cam.shape[1]
     win = int(getattr(sharded, "cg_window", 0) or 0)
-    kw = dict(rig_mode=rig_mode, with_depth=with_depth, has_up=has_up,
-              has_ang=has_ang, nr=nr)
-    if solver == "schur":
-        step = make_sharded_schur_lm_step(
-            mesh, "points", "perspective", pmax, ni, nc, win=win, **kw,
-        )
-    else:
-        step = make_sharded_cg_lm_step(
-            mesh, "points", "perspective", pmax, ni, nc,
-            cg_iters=cg_iters, cg_tol=0.0, win=win, **kw,
-        )
-    cost_fn = make_sharded_cost(
-        mesh, "points", "perspective", pmax, ni, nc, **kw
+    block_size = 8
+    block_fn = make_sharded_lm_block(
+        mesh, "points", "perspective", pmax, ni, nc, solver=solver,
+        block_size=block_size, tol=0.0, cg_iters=cg_iters, cg_tol=0.0,
+        nr=nr, rig_mode=rig_mode, with_depth=with_depth, has_up=has_up,
+        has_ang=has_ang, win=win,
     )
     a = _cg_args(sharded, 1, jnp.float32)
     a["lam"] = jnp.asarray(1e-4, jnp.float32)
     step_names = _cg_step_names(rig_mode, with_depth, has_up, has_ang,
                                 win=win > 0)
-    cost_names = _cg_cost_names(rig_mode, with_depth, has_up, has_ang)
-    out_keys = (("inst", "rigcam", "cam", "points") if rig_mode == "opt"
-                else ("inst", "cam", "points"))
 
-    def one_trial():
-        out = step(*(a[k] for k in step_names))
-        c = float(cost_fn(*(dict(a, **dict(zip(out_keys, out)))[k]
-                            for k in cost_names)))
-        return c
+    def one_block():
+        # ONE device program = block_size full damping trials (step +
+        # cost + accept/reject + lambda), exactly as the product loop
+        # dispatches them (make_sharded_lm_block).
+        out = block_fn(
+            jnp.asarray(1e9, jnp.float32), jnp.asarray(1e-4, jnp.float32),
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(block_size, jnp.int32),
+            *(a[k] for k in step_names),
+        )
+        stats = np.asarray(out[-1])
+        return int(stats[4])  # trials executed
 
-    one_trial()  # warmup/compile
+    one_block()  # warmup/compile
+    n_blocks = max(1, -(-trials // block_size))
+    done = 0
     t0 = time.time()
-    for _ in range(trials):
-        one_trial()
+    for _ in range(n_blocks):
+        done += one_block()
     dt = time.time() - t0
     meta = dict(
         variant=variant, shots=n_shots, points=n_points, obs=int(
             np.sum(np.asarray(problem.obs_inv_sd) > 0)
-        ),
+        ), block_size=block_size,
     )
     if solver == "cg":
         meta["cg_iters"] = cg_iters
-    return trials / dt, meta
+    return done / dt, meta
 
 
 def bench_schur_sharded(jax, jnp, n_shots=256, n_points=32768,

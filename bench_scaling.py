@@ -64,6 +64,15 @@ N_POINTS = 32768
 TRACK_LEN = 8
 CG_ITERS = 30
 
+# Compute-bound lane sizing (VERDICT r4 #7: the CG lane's gathers/
+# scatters saturate this 2-core host's DRAM single-handed, so its
+# 2-process "strong scaling" measures the memory bus, not the design).
+# The DENSE instance-slot step is matmul-shaped: its S_II contraction is
+# [6*NI, 3*NP] @ [3*NP, 6*NI] — 7.2 GFLOP over ~75 MB at 64 shots/8192
+# points, ~96 flops/byte, well past the core's compute:bandwidth ratio.
+DENSE_SHOTS = 64
+DENSE_POINTS = 8192
+
 # ICI model constants for the predicted multi-chip communication fraction:
 # one bidirectional v5e ICI link sustains ~45 GB/susable each way; a ring
 # all-reduce moves ~2 * payload bytes per device, plus ~5 us launch latency
@@ -114,15 +123,70 @@ def measure(n_devices: int, cg_iters: int = CG_ITERS, reps: int = 3) -> float:
     return reps / (time.time() - t0)
 
 
+def _dense_step_and_args(mesh, n_shards: int):
+    """The dense instance-slot sharded step (compute-bound lane) + its
+    positional args, points/obs sharded over `mesh`."""
+    from opensfm_tpu.parallel import (
+        make_sharded_lm_step_dense,
+        shard_problem_dense,
+    )
+
+    base = _make_problem(n_shots=DENSE_SHOTS, n_points=DENSE_POINTS, seed=0)
+    problem, _ = shard_problem_dense(base, n_shards)
+    ni, nr, nc, npts, O, T = problem.counts()
+    pmax = problem.cam.shape[1]
+    step = make_sharded_lm_step_dense(mesh, "points", ni, nr, nc, pmax)
+    f32 = jnp.float32
+    names = [
+        ("inst", f32), ("rigcam", f32), ("cam", f32), ("points", f32),
+        ("obs_uv", f32), ("obs_inv_sd", f32), ("point_prior", f32),
+        ("point_prior_inv_sd", f32), ("opt_points", bool),
+        ("gps_pos", f32), ("gps_inv_sd", f32), ("cam_prior", f32),
+        ("cam_prior_inv_sd", f32), ("cam_log_mask", bool),
+        ("rigcam_prior", f32), ("rigcam_prior_inv_sd", f32),
+        ("opt_inst", bool), ("opt_rigcam", bool), ("opt_cam", bool),
+    ]
+    sharded_names = {
+        "points", "obs_uv", "obs_inv_sd", "point_prior",
+        "point_prior_inv_sd", "opt_points",
+    }
+    raw = [(n, np.asarray(getattr(problem, n)), dt, n in sharded_names)
+           for n, dt in names]
+    return step, raw
+
+
+def _measure_dense(n_devices: int, reps: int = 5) -> float:
+    devices = np.array(jax.devices()[:n_devices])
+    mesh = Mesh(devices, ("points",))
+    step, raw = _dense_step_and_args(mesh, n_devices)
+    args = [jnp.asarray(a, dtype=dt) for _, a, dt, _ in raw]
+    args.append(jnp.asarray(1e-4, jnp.float32))
+    out = step(*args)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(reps):
+        out = step(*args)
+    jax.block_until_ready(out)
+    return reps / (time.time() - t0)
+
+
 def _dist_main() -> None:
     """One strong-scaling participant: a single-device process pinned (by
-    the parent, via taskset) to one core.  "solo" is the 1-core baseline;
-    "0"/"1" are the two jax.distributed processes whose psums cross the
+    the parent, via taskset) to one core.  "solo"/"dsolo" are the 1-core
+    baselines (CG lane / dense compute-bound lane); "0"/"1" and
+    "d0"/"d1" are the two jax.distributed processes whose psums cross the
     OS-process boundary — each with its OWN XLA thread pool, which is what
     the shared-pool virtual mesh cannot provide."""
     if DIST_ROLE == "solo":
         rate = measure(1, reps=6)
         print(json.dumps({"rate": rate}), flush=True)
+        return
+    if DIST_ROLE == "dsolo":
+        rate = _measure_dense(1)
+        print(json.dumps({"rate": rate}), flush=True)
+        return
+    if DIST_ROLE in ("d0", "d1"):
+        _dense_dist_pair(int(DIST_ROLE[1]))
         return
 
     port = os.environ["BENCH_SCALING_PORT"]
@@ -182,6 +246,42 @@ def _dist_main() -> None:
     jax.distributed.shutdown()
 
 
+def _dense_dist_pair(pid: int) -> None:
+    """jax.distributed participant for the dense compute-bound lane."""
+    port = os.environ["BENCH_SCALING_PORT"]
+    jax.distributed.initialize(
+        coordinator_address=f"localhost:{port}", num_processes=2,
+        process_id=pid,
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    devices = np.array(jax.devices())
+    mesh = Mesh(devices, ("points",))
+    step, raw = _dense_step_and_args(mesh, 2)
+    rep = NamedSharding(mesh, P())
+    sh = NamedSharding(mesh, P("points"))
+
+    def globalize(x, dt, is_sharded):
+        x = np.asarray(x).astype(bool if dt is bool else np.float32)
+        return jax.make_array_from_callback(
+            x.shape, sh if is_sharded else rep, lambda index: x[index]
+        )
+
+    args = [globalize(a, dt, s) for _, a, dt, s in raw]
+    args.append(globalize(np.float32(1e-4), jnp.float32, False))
+    out = step(*args)
+    jax.block_until_ready(out)
+    reps = 5
+    t0 = time.time()
+    for _ in range(reps):
+        out = step(*args)
+    jax.block_until_ready(out)
+    rate = reps / (time.time() - t0)
+    if pid == 0:
+        print(json.dumps({"rate": rate}), flush=True)
+    jax.distributed.shutdown()
+
+
 def _parse_rate(stdout: str):
     for line in stdout.strip().splitlines()[::-1]:
         if line.startswith("{"):
@@ -189,10 +289,13 @@ def _parse_rate(stdout: str):
     return None
 
 
-def _two_process_strong_scaling():
+def _two_process_strong_scaling(solo_role="solo", pair_roles=("0", "1"),
+                                metric="two_process_strong_scaling"):
     """1 process on core 0 vs 2 processes on cores 0+1 (jax.distributed):
     genuine strong scaling — separate thread pools, psums over the process
-    boundary (the CI stand-in for 2 hosts over DCN)."""
+    boundary (the CI stand-in for 2 hosts over DCN).  Default roles run
+    the CG lane; ("dsolo", ("d0", "d1")) runs the dense COMPUTE-BOUND lane
+    (the sizing this host can actually scale — VERDICT r4 #7)."""
     import socket
 
     if (os.cpu_count() or 1) < 2:
@@ -211,7 +314,7 @@ def _two_process_strong_scaling():
         )
 
     try:
-        solo = run("solo", {}, "0")
+        solo = run(solo_role, {}, "0")
         out, _ = solo.communicate(timeout=1200)
         r_solo = _parse_rate(out)
 
@@ -220,8 +323,8 @@ def _two_process_strong_scaling():
         port = str(s.getsockname()[1])
         s.close()
         procs = [
-            run(str(i), {"BENCH_SCALING_PORT": port}, str(i))
-            for i in range(2)
+            run(role, {"BENCH_SCALING_PORT": port}, str(i))
+            for i, role in enumerate(pair_roles)
         ]
         outs = []
         for p in procs:
@@ -231,7 +334,7 @@ def _two_process_strong_scaling():
         if not r_solo or not r_pair:
             return None
         return {
-            "metric": "two_process_strong_scaling",
+            "metric": metric,
             "processes": 2,
             "iter_per_s_1core_1proc": round(r_solo, 3),
             "iter_per_s_2core_2proc": round(r_pair, 3),
@@ -270,6 +373,9 @@ def main() -> None:
     predicted_comm_fraction = comm_s / (comm_s + per_cg_iter_s)
 
     scaling = _two_process_strong_scaling()
+    scaling_dense = _two_process_strong_scaling(
+        "dsolo", ("d0", "d1"), "two_process_strong_scaling_dense"
+    )
 
     print(
         json.dumps(
@@ -291,6 +397,7 @@ def main() -> None:
                     predicted_comm_fraction, 5
                 ),
                 "two_process_strong_scaling": scaling,
+                "two_process_strong_scaling_dense": scaling_dense,
             }
         )
     )

@@ -594,7 +594,17 @@ def _solve_full_bundle(problem, config: Dict[str, Any], n_shots: int):
             )
 
             reason = check_cg_compatible(problem)
-            if reason is None:
+            solver_cfg = str(
+                config.get("bundle_distributed_solver", "auto")
+            ).lower()
+            # Pose-graph rows (a non-None reason other than "no
+            # observations") are carried by the assembled-Schur solver
+            # (round 5), so they no longer force the fallback unless the
+            # user pinned solver=cg.
+            routable = reason is None or (
+                reason != "no observations" and solver_cfg != "cg"
+            )
+            if routable:
                 logger.info(
                     "Distributed BA over %d devices (%d shots)",
                     n_dev, n_shots,
@@ -604,9 +614,7 @@ def _solve_full_bundle(problem, config: Dict[str, Any], n_shots: int):
                     cg_iters=int(
                         config.get("bundle_distributed_cg_iters", 100)
                     ),
-                    solver=str(
-                        config.get("bundle_distributed_solver", "auto")
-                    ).lower(),
+                    solver=solver_cfg,
                 )
             logger.info(
                 "Distributed BA unavailable (%s); using the "

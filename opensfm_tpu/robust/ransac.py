@@ -22,6 +22,7 @@ ransac_absolute_pose_known_rotation, ransac_similarity, ransac_line.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Any, Callable, Optional
@@ -163,7 +164,7 @@ def _run(
     # the sweep runs fine alone).  Chunk the sweep at <=512 hypotheses
     # per dispatch and keep the best chunk — extra hypotheses in the last
     # chunk only help, and all chunks share one compiled program.
-    chunk = 512
+    chunk = int(os.environ.get("OPENSFM_TPU_RANSAC_CHUNK", "512"))
     n_chunks = max(1, -(-k // chunk))
     k_dispatch = min(k, chunk)
     d1j, d2j = jnp.asarray(d1), jnp.asarray(d2)

@@ -200,3 +200,17 @@ def test_lund_640_cliff_merges(tmp_path_factory):
         ate = float(np.sqrt(np.mean(np.sum((aligned - gold) ** 2, axis=1))))
         print(f"lund 640px vs 800px-golden ATE: {ate:.4f} m")
         assert ate < 0.45, f"640px model at {ate:.3f} m vs golden"
+
+    # Deterministic settle assertion (ADVICE r4): when the seeded merge
+    # ran, its retriangulate+bundle settle loop must have terminated via
+    # the <5 mm pose-displacement criterion, not the 5-round cap — a
+    # drifting merge refinement trips this long before the 0.45 m ATE
+    # cliff bound does.
+    report = json.loads(data.load_report("reconstruction.json"))
+    settled = [
+        m for m in report.get("merge_settle_moved", []) if m is not None
+    ]
+    if settled:
+        assert min(settled) < 5e-3, (
+            f"merge settle loop hit the round cap still moving: {settled}"
+        )

@@ -114,7 +114,9 @@ def test_sensor_lookup_normalizes_vendor_noise():
         ("NIKON CORPORATION", "NIKON D90"): 23.5,
         ("Canon", "Canon PowerShot A540"): 5.37,
         ("OLYMPUS IMAGING CORP.", "E-M5"): 17.3,
-        ("CASIO COMPUTER CO.,LTD.", "EX-Z750"): 5.76,
+        # 1/1.8" — the EX-Z750 sat in the premium Z line (corrected in
+        # wave 4b from the 1/2.5" compact default).
+        ("CASIO COMPUTER CO.,LTD.", "EX-Z750"): 7.18,
         ("EASTMAN KODAK COMPANY", "KODAK EASYSHARE C143 DIGITAL CAMERA"): 6.17,
         ("SONY", "DSC-W800"): 6.17,
         ("samsung", "SM-G950F"): 6.3,
