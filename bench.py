@@ -508,8 +508,15 @@ def bench_e2e_device(dataset_name="berlin", last_stage="compute_depthmaps",
     times = {"backend": jax.default_backend()}
     t_start = time.time()
     total = 0.0
+    # A stage is UN-preemptible once started, so the guard looks ahead:
+    # skip when the remaining budget cannot cover the stage's warm-cache
+    # estimate (berlin on the tunneled chip, measured r5: reconstruct
+    # ~190 s, PatchMatch depthmaps ~356 s — starting depthmaps with 37 s
+    # of margin blew the r5 validation run 80 s past its budget).
+    est = {"reconstruct": 150, "compute_depthmaps": 300,
+           "match_features": 30}
     for name, action in all_stages[:upto]:
-        if time.time() - t_start > budget_s:
+        if time.time() - t_start > budget_s - est.get(name, 0):
             times[name] = "skipped_budget"
             continue
         context.reset_dispatch_counts()
@@ -754,13 +761,14 @@ def main() -> None:
     # the TPU process keeps its platform): partition overhead, 2-process
     # jax.distributed strong scaling (dense compute-bound lane + CG lane),
     # psum payloads -> predicted ICI comm fraction.
-    if not skip("cpu_mesh_scaling", 150):
+    if not skip("cpu_mesh_scaling", 240):
         try:
             extra["cpu_mesh_scaling"] = _subprocess_lane(
                 "bench_scaling.py", ["8"], max(120, remaining() - 30)
             )
         except Exception as e:  # pragma: no cover
             print(f"scaling bench failed: {e}", file=sys.stderr)
+            extra["cpu_mesh_scaling"] = f"failed: {type(e).__name__}"
         emit()
 
     # ---- Optional heavy lanes, only with budget left (a larger
@@ -775,6 +783,7 @@ def main() -> None:
             )
         except Exception as e:  # pragma: no cover
             print(f"scale_xl bench failed: {e}", file=sys.stderr)
+            extra["scale_xl"] = f"failed: {type(e).__name__}"
         emit()
 
     if not skip("e2e_berlin_stage_seconds", 400):
@@ -786,6 +795,7 @@ def main() -> None:
             )
         except Exception as e:  # pragma: no cover
             print(f"e2e bench failed: {e}", file=sys.stderr)
+            extra["e2e_berlin_stage_seconds"] = f"failed: {type(e).__name__}"
 
     emit()
 

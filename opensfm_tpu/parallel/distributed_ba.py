@@ -1888,77 +1888,6 @@ def make_sharded_cost(
 
 
 @lru_cache(maxsize=64)
-def make_sharded_trial(
-    mesh: Mesh,
-    axis: str,
-    ptype: str,
-    pmax: int,
-    ni: int,
-    nc: int,
-    solver: str = "cg",
-    loss: str = "SoftLOneLoss",
-    loss_threshold: float = 1.0,
-    cg_iters: int = 100,
-    cg_tol: float = 1e-8,
-    nr: int = 1,
-    rig_mode: str = "none",
-    with_depth: bool = False,
-    has_up: bool = False,
-    has_ang: bool = False,
-    win: int = 0,
-    graph: tuple = (),
-    ns: int = 0,
-):
-    """ONE device program per damping trial: the sharded LM step (CG or
-    assembled-Schur) AND the cost of the trial state, fused.  The split
-    step/cost pair costs two host round-trips per trial — ~64 ms through
-    the tunneled chip, comparable to the step itself (r5 measurement:
-    ~32 ms dispatch floor); production damping loops should dispatch once.
-
-    trial(*args) -> (new_state..., cost) with args ordered by
-    `_cg_step_names(...)`."""
-    kw = dict(
-        loss=loss, loss_threshold=loss_threshold, nr=nr,
-        rig_mode=rig_mode, with_depth=with_depth, has_up=has_up,
-        has_ang=has_ang,
-    )
-    if solver == "schur":
-        step = make_sharded_schur_lm_step(
-            mesh, axis, ptype, pmax, ni, nc, win=win, graph=graph, ns=ns,
-            **kw,
-        )
-    else:
-        assert not graph and ns == 0, \
-            "pose-graph rows need the assembled-Schur solver"
-        step = make_sharded_cg_lm_step(
-            mesh, axis, ptype, pmax, ni, nc, cg_iters=cg_iters,
-            cg_tol=cg_tol, win=win, **kw,
-        )
-    cost_fn = make_sharded_cost(mesh, axis, ptype, pmax, ni, nc,
-                                graph=graph, ns=ns, **kw)
-    step_names = _cg_step_names(rig_mode, with_depth, has_up, has_ang,
-                                win=win > 0,
-                                mixed=isinstance(ptype, tuple),
-                                graph=graph, has_scales=ns > 0)
-    cost_names = _cg_cost_names(rig_mode, with_depth, has_up, has_ang,
-                                mixed=isinstance(ptype, tuple),
-                                graph=graph, has_scales=ns > 0)
-    out_keys = (
-        ("inst", "rigcam", "cam", "points") if rig_mode == "opt"
-        else ("inst", "cam", "points")
-    ) + (("scales",) if ns > 0 else ())
-
-    def trial(*args):
-        a = dict(zip(step_names, args))
-        out = step(*args)
-        a2 = dict(a, **dict(zip(out_keys, out)))
-        c = cost_fn(*(a2[k] for k in cost_names))
-        return out + (c,)
-
-    return jax.jit(trial)
-
-
-@lru_cache(maxsize=64)
 def make_sharded_lm_block(
     mesh: Mesh,
     axis: str,

@@ -46,16 +46,23 @@ def test_bundle_adjust_sharded_converges_like_single_device():
 def test_bundle_adjust_sharded_rejects_incompatible():
     from opensfm_tpu.parallel import bundle_adjust_sharded, check_cg_compatible
 
-    # Round 4: rigs / up rows / depth priors are all IN-path now (VERDICT r3
-    # item 1); only pose-graph constraint families remain incompatible.
+    # Round 4: rigs / up rows / depth priors are all IN-path; round 5:
+    # pose-graph families route to the assembled-Schur solver, so only
+    # solver="cg" still rejects them (and empty problems always raise).
     problem = _make_problem(n_shots=8, n_points=128, seed=2)
     problem.rigcam = np.array([[0.1, 0, 0, 0.5, 0, 0]])  # non-identity rig
     assert check_cg_compatible(problem) is None
 
-    problem.rm_i = np.array([0], dtype=np.int32)  # pose-graph family
-    assert check_cg_compatible(problem) is not None
+    g = _graph_problem("gauge")
+    assert check_cg_compatible(g) is not None  # CG-incompatible reason
     with pytest.raises(ValueError):
-        bundle_adjust_sharded(problem, max_iterations=2)
+        bundle_adjust_sharded(g, max_iterations=2, solver="cg")
+
+    empty = _make_problem(n_shots=8, n_points=128, seed=2)
+    empty.obs_uv = empty.obs_uv[:0]
+    empty.obs_inv_sd = empty.obs_inv_sd[:0]
+    with pytest.raises(ValueError):
+        bundle_adjust_sharded(empty, max_iterations=2)
 
 
 def test_incremental_reconstruction_distributed():
