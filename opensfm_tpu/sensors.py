@@ -1135,7 +1135,9 @@ _add("fujifilm finepix", {
     "xp30": _1_23, "xp31": _1_23, "xp50": _1_23, "xp51": _1_23,
     "xp60": _1_23, "xp150": _1_23, "xp200": _1_23, "s2550": _1_23,
     "s4050": _1_23, "s4250": _1_23, "s4600": _1_23, "s6000": _1_17,
-    "s9000": _1_17, "s9500": _1_17, "s9600": _1_17, "hs20": _1_2,
+    # S9000/S9500/S9600 (S9100 intl.): 1/1.6" SuperCCD (wave-5 fix from
+    # the 1/1.7" bridge-camera default).
+    "s9000": 8.08, "s9500": 8.08, "s9600": 8.08, "hs20": _1_2,
     "hs22": _1_2, "hs25": _1_2, "hs28": _1_2, "hs30": _1_2, "hs33": _1_2,
     "hs35": _1_2, "hs50": _1_2,
 })
@@ -1364,7 +1366,9 @@ _add("minolta", {
     "dimage g530": _1_25, "dimage g600": _1_25,
 })
 _add("olympus", {
-    "c-2000z": _1_18, "c-2020z": _1_18, "c-2040z": _1_18, "c-3000z": _1_18,
+    # C-2000/2020/2040Z: the 2.1 MP generation shipped 1/2" CCDs (the
+    # 3 MP C-30x0Z and later moved to 1/1.8") — wave-5 correction.
+    "c-2000z": _1_2, "c-2020z": _1_2, "c-2040z": _1_2, "c-3000z": _1_18,
     "c-3020z": _1_18, "c-3030z": _1_18, "c-3040z": _1_18, "c-4000z": _1_18,
     "c-4040z": _1_18, "c-5050z": _1_18, "c-40z": _1_18, "c-5060wz": _1_17,
     "c-7070wz": _1_17, "c-8080wz": _2_3, "c-160": _1_27, "c-170": _1_27,
@@ -1386,7 +1390,8 @@ _add("samsung", {
     "digimax i50": _1_25, "digimax i6": _1_25, "digimax l50": _1_25,
     "digimax l60": _1_25, "digimax l70": _1_25, "digimax s700": _1_25,
     "digimax d53": _1_25, "digimax cyber 530": _1_25, "digimax v700": _1_18,
-    "digimax v800": _1_18, "digimax pro815": _1_18,
+    # Pro815: the 8 MP superzoom flagship used a 2/3" CCD (wave-5 fix).
+    "digimax v800": _1_18, "digimax pro815": _2_3,
 })
 _add("sony", {
     "ilce-3500": _APSC,
@@ -1401,7 +1406,7 @@ _add("sony", {
 _NOISE_TOKENS = {
     "corporation", "corp", "co", "ltd", "coltd", "company", "inc", "gmbh",
     "computer", "techwin", "imaging", "optical", "electronics", "electric",
-    "eastman",
+    "eastman", "ag",
 }
 
 # Product-line words that vendors include or omit freely in EXIF Model
@@ -1454,6 +1459,15 @@ def _candidates(sensor_string: str):
         stripped = no_series[:-1] + [_strip_model_suffix(no_series[-1])]
         if stripped != no_series:
             yield " ".join(stripped)
+    # Interior-"camera"-free form ("leica camera s2" -> "leica s2"; tried
+    # LAST so exact keys that contain the word, e.g. "samsung galaxy
+    # camera", still match on the earlier candidates).
+    no_cam = [t for t in dedup if t != "camera"]
+    if no_cam != dedup:
+        yield " ".join(no_cam)
+        no_cam_series = [t for t in no_cam if t not in _SERIES_TOKENS]
+        if no_cam_series != no_cam:
+            yield " ".join(no_cam_series)
 
 
 _FLAT_TABLE: Dict[str, float] = {}
@@ -1966,4 +1980,313 @@ _add("pentax", {
 })
 _add("ricoh", {
     "caplio r1v": 5.75,
+})
+
+
+# --- Round-5 long-tail extension, wave 5 (tools/sensor_wave.py classify5) --
+# The remaining reference-key long tail: per-product-line sensor classes
+# (first-generation PowerShot/QV/PhotoPC 1/3" CCDs, late-90s 2/3" CCD
+# prosumer bodies, the KAI-family 1/1.75" Kodak DC line, the mid-2000s
+# 1/1.8" 4-8MP compact generation, SuperCCD 1/1.6", APS-H DSLRs, Leica S
+# 45x30, 645 medium format).  Protocol as waves 1-4: widths DERIVED from
+# the class rules in tools/sensor_wave.py:classify5, AUDITED against the
+# reference table with >10% deviants DROPPED (never corrected).  Wave
+# stats: 669 derived, 624 kept, 45 dropped, median deviation 0.89%.
+_add("acer", {
+    "ci-6330": 7.18, "ci-6530": 7.18, "ci-8330": 7.18, "cp-8531": 7.18,
+    "cp-8660": 7.18, "cr-5130": 7.18, "cr-6530": 7.18, "cr-8530": 7.18,
+})
+_add("aerovironment", {
+    "quantix": 6.08,
+})
+_add("agfaphoto", {
+    "dc-2030m": 6.4, "dc-302": 4.8, "dc-500": 4.8, "dc-8428s": 7.18,
+    "ephoto 1280": 6.4, "ephoto 1680": 6.4, "ephoto cl18": 6.4,
+    "ephoto cl30": 6.4, "ephoto cl30 clik!": 6.4, "ephoto cl45": 6.4,
+    "ephoto cl50": 6.4, "optima 3": 6.4,
+})
+_add("benq", {
+    "dc 2300": 4.54, "dc 3400": 4.54, "dc 3410": 4.54, "dc c1000": 7.18,
+    "dc c1050": 7.6, "dc c50": 7.18, "dc c60": 7.18, "dc c62": 7.18,
+    "dc c800": 7.18, "dc e1000": 7.18, "dc e30": 6.4, "dc e300": 6.4,
+    "dc e310": 6.4, "dc p860": 7.18,
+})
+_add("canon", {
+    "digital ixus 400": 7.18, "digital ixus 430": 7.18,
+    "digital ixus 500": 7.18, "digital ixus 900 ti": 7.18,
+    "digital ixus 960 is": 7.18, "digital ixus 980 is": 7.18,
+    "eos-1d c": 36.0, "eos-1d mark ii n": 27.9, "ixy digital 600": 7.18,
+    "powershot 350": 4.8, "powershot 600": 4.8, "powershot a100": 4.54,
+    "powershot a5": 4.8, "powershot a5 zoom": 4.8, "powershot a50": 4.8,
+    "powershot a650 is": 7.6, "powershot n100": 7.6, "powershot pro1": 8.8,
+    "powershot pro70": 6.4, "powershot pro90 is": 7.18, "powershot s10": 6.4,
+    "powershot s20": 7.18, "powershot s400": 7.18, "powershot s410": 7.18,
+    "powershot s500": 7.18, "powershot sd950 is": 7.6, "pro90 is": 7.18,
+    "s200": 7.6,
+})
+_add("casio", {
+    "exilim ex-z1200 sr": 7.6, "exilim pro ex-f1": 7.18, "gv-10": 4.54,
+    "gv-20": 4.54, "qv-2000ux": 6.4, "qv-300": 4.8, "qv-3000ex": 7.18,
+    "qv-3500ex": 7.18, "qv-3ex / xv-3": 7.18, "qv-4000": 7.18,
+    "qv-5000sx": 4.8, "qv-5500sx": 4.8, "qv-5700": 7.18, "qv-700": 4.8,
+    "qv-7000sx": 4.8, "qv-770": 4.8, "qv-8000sx": 4.8, "qv-r3": 7.18,
+    "qv-r4": 7.18,
+})
+_add("concord", {
+    "00": 6.4, "2": 6.4, "3345z": 6.4, "3346z": 6.4, "40": 7.18,
+    "5345z": 7.18, "6340z": 7.18, "dvx": 6.4, "es510z": 7.18,
+    "eye-q 1000": 6.4, "eye-q 1300": 6.4, "eye-q 2040": 6.4,
+    "eye-q 2133z": 6.4, "eye-q 3040af": 6.4, "eye-q 3103": 6.4,
+    "eye-q 3132z": 6.4, "eye-q 3341z": 6.4, "eye-q 4060af": 7.18,
+    "eye-q 4330z": 7.18, "eye-q 4342z": 7.18, "eye-q 4360z": 7.18,
+    "eye-q 4363z": 7.18, "eye-q 5062af": 7.18, "eye-q 5330z": 7.18,
+    "eye-q duo 2000": 6.4, "eye-q duo lcd": 6.4, "eye-q go 2000": 6.4,
+    "eye-q go lcd": 6.4, "eye-q go wireless": 6.4,
+})
+_add("contax", {
+    "n digital": 36.0, "tvs digital": 7.18,
+})
+_add("dji", {
+    "zenmusep1": 36.0,
+})
+_add("epson", {
+    "photopc 3000 zoom": 7.18, "photopc 3100 zoom": 7.18, "photopc 500": 4.8,
+    "photopc 550": 4.8, "photopc 600": 4.8, "photopc 650": 4.8,
+    "photopc 700": 4.8, "photopc 750 zoom": 6.4, "photopc 800": 6.4,
+    "photopc 850 zoom": 6.4,
+})
+_add("fujifilm", {
+    "bigjob hd1": 5.37, "digital q1": 6.4, "ds-260hd": 6.4, "ds-300": 8.8,
+    "finepix 50i": 7.6, "finepix ax200": 6.16, "finepix ax205": 6.16,
+    "finepix ax300": 6.16, "finepix ax305": 6.16, "finepix e550 zoom": 7.6,
+    "finepix e900 zoom": 8.08, "finepix f305exr": 6.4,
+    "finepix f401 zoom": 5.37, "finepix f402": 5.37,
+    "finepix f410 zoom": 5.37, "finepix f420 zoom": 5.37,
+    "finepix f440 zoom": 5.75, "finepix f450 zoom": 5.75,
+    "finepix f455 zoom": 5.75, "finepix f470 zoom": 5.75,
+    "finepix f480 zoom": 5.75, "finepix f650 zoom": 5.75,
+    "finepix is pro": 23.6, "finepix is-1": 8.08, "finepix jx205": 6.16,
+    "finepix jx305": 6.16, "finepix m603": 7.6, "finepix pr21": 6.4,
+    "finepix s100fs": 8.8, "finepix s3000 z": 5.37, "finepix s304": 5.37,
+    "finepix s3500 zoom": 5.37, "finepix s5000 zoom": 5.37,
+    "finepix s5100 zoom": 5.37, "finepix s5500 zoom": 5.37,
+    "finepix s602 zoom": 7.6, "finepix s602z pro": 7.6,
+    "finepix s7000 zoom": 7.6, "finepix s9000 zoom": 8.08,
+    "finepix s200exr": 8.08, "finepix s205exr": 8.08,
+    "finepix s9100": 8.08, "finepix z950exr": 6.4, "mx-1200": 6.4,
+    "mx-1500": 6.4, "mx-1700": 6.4, "mx-2700": 6.4, "mx-2900 zoom": 6.4,
+    "mx-500": 6.4, "mx-600 zoom": 6.4, "mx-700": 6.4, "xf1": 8.8,
+})
+_add("ge", {
+    "e1235": 7.6, "e1240": 7.6,
+})
+_add("gitup", {
+    "git2": 6.16,
+})
+_add("hasselblad", {
+    "l2d-20c": 17.3,
+})
+_add("hp", {
+    "photosmart 120": 6.4, "photosmart 620": 4.8, "photosmart 635": 4.54,
+    "photosmart 715": 7.18, "photosmart 720": 7.18, "photosmart 812": 7.18,
+    "photosmart 850": 7.18, "photosmart 935": 7.18, "photosmart 945": 7.18,
+    "photosmart c20": 8.8, "photosmart c200": 8.8, "photosmart c30": 8.8,
+    "photosmart c500": 8.8, "photosmart c912": 8.8, "photosmart mz67": 7.18,
+})
+_add("jenoptik", {
+    "jd 1300 d": 6.4, "jd 1300 f": 6.4, "jd 1500 z3": 6.4, "jd 21 ff": 4.54,
+    "jd 21 xz3": 4.54, "jd 2300 z3": 7.18, "jd 31 exclusiv": 6.4,
+    "jd 3300 z3": 7.18, "jd 3300 z3 s": 7.18, "jd 40 lcd": 7.18,
+    "jd 4100 z3": 7.18, "jd 4100 z3 s": 7.18, "jd 4100 zoom": 7.18,
+    "jd 4360z": 7.18, "jd 4363z": 7.18, "jd 52 z3": 7.18,
+    "jd 52 z3 mpeg4": 7.18, "jd 5200 z3": 7.18, "jd 60 z3": 7.18,
+    "jd 60 z3 exclusiv": 7.18, "jd 60 z3 mpeg4": 7.18,
+    "jd 80 exclusiv": 7.18, "jd 80z3 easyshot": 7.18, "jd c 13 lcd": 6.4,
+    "jd c 13 sd": 6.4, "jd c 1300": 6.4, "jd c 21 lcd": 6.4,
+    "jd c 30 s": 6.4, "jd c 31 lcd": 6.4, "jd c 31 li": 6.4,
+    "jd c 31 sl": 6.4, "jd c 31 z3": 6.4, "jd c 50 sl": 7.18,
+})
+_add("jvc", {
+    "gc-qx3hd": 7.18, "gc-qx5hd": 7.18,
+})
+_add("kodak", {
+    "dc200": 7.3, "dc200 plus": 7.3, "dc210 plus": 7.3, "dc215": 7.3,
+    "dc220": 7.3, "dc240": 7.3, "dc260": 7.3, "dc265": 7.3, "dc280": 7.3,
+    "dc290": 7.3, "dc3200": 7.6, "dc3400": 7.6, "dc3800": 7.6, "dc4800": 7.3,
+    "dc5000": 7.3, "dcs pro 14n": 36.0, "dcs pro slr/c": 36.0,
+    "dcs pro slr/n": 36.0, "dcs315": 27.9, "dcs460": 27.9, "dcs520": 27.9,
+    "dcs560": 27.9, "dcs620": 27.9, "dcs660": 27.9, "dcs760": 27.9,
+    # 620x/720x swapped the APS-H CCD for Kodak's APS-C-sized ITO CCD;
+    # explicit entries so the model-suffix fallback doesn't serve the
+    # APS-H width for them.
+    "dcs620x": 23.5, "dcs720x": 23.5,
+    "easyshare ls745": 7.18, "easyshare m215": 4.8, "easyshare mini": 4.8,
+    "easyshare v1073": 7.76, "easyshare v1233": 7.6, "easyshare v1253": 7.6,
+    "easyshare v1273": 7.6, "easyshare z1085 is": 7.76,
+    "easyshare z1485 is": 7.6, "ls420": 7.18, "ls743": 7.18, "ls753": 7.18,
+    "m590": 4.8, "mc3": 6.4, "s-1": 17.3,
+})
+_add("konica", {
+    "milolta dynax 5d": 23.5, "q-m100": 4.8, "q-m200": 6.4,
+    "revio kd-210z": 7.18, "revio kd-220z": 4.54, "revio kd-25": 7.18,
+    "revio kd-300z": 7.18, "revio kd-310z": 7.18, "revio kd-4000z": 7.18,
+    "revio kd-400z": 7.18, "revio kd-410z": 7.18, "revio kd-500z": 7.18,
+    "revio kd-510z": 7.18,
+})
+_add("konica-minolta", {
+    "dimage a2": 8.8, "dimage e40": 6.4, "dimage g600": 7.18,
+    "dimage x31": 4.54,
+})
+_add("kyocera", {
+    "finecam 3300": 7.18, "finecam s3": 7.18, "finecam s3l": 7.18,
+    "finecam s3r": 7.18, "finecam s3x": 7.18, "finecam s4": 7.18,
+    "finecam s5": 7.18, "finecam s5r": 7.18,
+})
+_add("leica", {
+    "d-lux 2": 7.76, "d-lux 3": 7.76, "digilux": 6.4, "digilux 1": 7.6,
+    "digilux 3": 17.3, "digilux 43": 7.6, "digilux zoom": 6.4,
+    "m typ 240": 36.0, "m-e typ 220": 35.8, "m-p": 36.0, "m82": 27.9,
+    "m9 titanium": 35.8, "m9-p": 35.8, "s type 007": 45.0, "s-e": 45.0,
+    "s2": 45.0, "x-e": 23.6,
+})
+_add("lge", {
+    "nexus 5": 4.54,
+})
+_add("minolta", {
+    "dimage 2300": 7.6, "dimage 2330": 7.6, "dimage e201": 7.6,
+    "dimage ex 1500 wide": 6.4, "dimage ex 1500 zoom": 6.4,
+    "dimage f300": 7.18, "dimage g500": 7.18, "rd-3000": 6.4,
+})
+_add("minox", {
+    "classic leica m3 21": 6.4, "classic leica m3 3mp": 6.4,
+    "classic leica m3 4mp": 6.4, "classic leica m3 5mp": 6.4, "dc 1011": 7.6,
+    "dc 1011 carat": 7.6, "dc 1022": 7.6, "dc 2133": 4.54, "dc 3311": 7.18,
+    "dc 4011": 7.18, "dc 5211": 7.18, "dc 6311": 7.18, "dc 8111": 7.18,
+    "dc 8122": 7.18, "dcc rolleiflex af 50": 6.4, "dd1": 6.4,
+    "dd1 diamond": 6.4, "dd100": 6.4, "dd200": 6.4, "dm 1": 6.4,
+    "mobi dv": 6.4, "rolleiflex minidigi": 6.4,
+})
+_add("nikon", {
+    "coolpix 100": 4.8, "coolpix 300": 4.8, "coolpix 4200": 7.18,
+    "coolpix 5600": 5.75, "coolpix 700": 6.4, "coolpix 800": 6.4,
+    "coolpix 8400": 8.8, "coolpix 880": 7.18, "coolpix 910": 6.4,
+    "coolpix 950": 6.4, "coolpix 990": 7.18, "coolpix p5000": 7.18,
+    "coolpix p5100": 7.6, "coolpix s02": 4.8, "coolpix s30": 4.8,
+    "coolpix s32": 4.8, "coolpix sq": 5.37, "e2n": 8.8, "e2ns": 8.8,
+    "e2s": 8.8, "e3": 8.8, "e3s": 8.8, "e4200": 7.18, "e4300": 7.18,
+    "e4500": 7.18, "e5000": 8.8, "e5200": 7.18, "e5400": 7.18, "e5700": 8.8,
+    "e5900": 7.18, "e7600": 7.18, "e7900": 7.18, "e8800": 8.8, "e990": 7.18,
+    "e995": 7.18,
+})
+_add("nokia", {
+    "n80": 5.37, "n93": 4.54, "n95": 5.37,
+})
+_add("olympus", {
+    "az-1": 5.37, "az-1 ferrari 2004": 5.37, "az-2 zoom": 5.37,
+    "c-1000l": 6.4, "c-1400l": 8.8, "c-1400xl": 8.8, "c-2000 zoom": 6.4,
+    "c-2020 zoom": 6.4, "c-2040 zoom": 6.4, "c-21": 6.4, "c-2100 uz": 6.4,
+    "c-220 zoom": 4.54, "c-2500 l": 8.8, "c-40 zoom": 7.18,
+    "c-50 zoom": 7.18, "c-55 zoom": 7.18, "c-60 zoom": 7.18,
+    "c-70 zoom": 7.18, "c-8080 wide zoom": 8.8, "c-820l": 4.8,
+    "d-150z": 4.54, "d-200l": 8.8, "d-300l": 8.8, "d-340l": 8.8,
+    "d-340r": 6.4, "d-370": 4.54, "d-380": 4.54, "d-390": 4.54,
+    "d-40 zoom": 7.18, "d-400 zoom": 6.4, "d-460 zoom": 7.18, "d-500l": 8.8,
+    "d-520 zoom": 4.54, "d-600l": 8.8, "d-620l": 8.8, "e-10": 8.8,
+    "e-100 rs": 6.4, "e-20": 8.8, "fe-250": 7.18, "fe-300": 7.6,
+    "mju 800 black": 7.18, "stylus 1000": 7.18, "stylus 1200": 7.6,
+    "stylus 800": 7.18, "stylus 810": 7.18,
+})
+_add("panasonic", {
+    "d-snap sv-as10": 4.54, "d-snap sv-as3": 4.54, "d-snap sv-as30": 4.54,
+    "lumix dmc-lc40": 7.6, "lumix dmc-lc5": 7.6, "lumix dmc-lf1": 7.6,
+    "pv dc3000": 7.18,
+})
+_add("pentax", {
+    "*ist dl2": 23.5, "*ist ds2": 23.5, "ei-100": 4.54, "ei-2000": 8.8,
+    "optio 450": 7.18, "optio 550": 7.18, "optio 60": 7.18,
+    "optio 750z": 7.18, "optio s10": 7.18, "optio s12": 7.6,
+})
+_add("phantom", {
+    "vision fc200": 6.16,
+})
+_add("phase", {
+    "one ixm-rs100f": 53.7,
+})
+_add("praktica", {
+    "dc 20": 6.4, "dc slim 2": 6.4, "dc slim 5": 7.18, "dcz 101": 7.18,
+    "dcz 13": 6.4, "dcz 20": 4.8, "dcz 21": 4.8, "dcz 21 s": 4.8,
+    "dcz 22 s": 6.4, "dcz 30": 6.4, "dcz 32": 7.18, "dcz 32d": 6.4,
+    "dcz 32s": 6.4, "dcz 33": 7.18, "dcz 41": 7.18, "dcz 42": 7.18,
+    "dcz 43": 7.18, "dcz 51": 7.18, "dcz 52": 7.18, "digi 3": 6.4,
+    "digi 3 lm": 6.4, "digi 30": 6.4, "digicam 3": 6.4, "dmmc": 4.8,
+    "dmmc 4": 4.8, "dpix 3000": 6.4, "dpix 3200": 4.8, "dpix 3300": 4.8,
+    "dpix 5000 wp": 4.54, "dpix 910z": 6.4, "exakta dc 4200": 7.18,
+    "g20": 6.4, "g32": 6.4, "luxmedia 10 x3": 7.18, "luxmedia 12 hd": 7.6,
+    "luxmedia 5003": 7.18, "luxmedia 5103": 7.18, "luxmedia 6103": 7.18,
+    "mini": 6.4, "v21": 6.4, "v32": 6.4,
+})
+_add("ricoh", {
+    "caplio 500g": 7.18, "caplio 500g wide": 7.18, "caplio 500se": 7.18,
+    "caplio gx100": 7.3, "caplio gx200": 7.6, "caplio rr1": 7.18,
+    "caplio rr120": 4.54, "caplio rr630": 7.18,
+    "gxr a12 50mm f25 macro": 23.6, "gxr a16 24-85mm f35-55": 23.6,
+    "gxr gr lens a12 28mm f25": 23.6, "gxr mount a12": 23.6,
+    "gxr p10 28-300mm f35-56 vc": 6.16, "rdc-200g": 6.4, "rdc-4300": 4.8,
+    "rdc-6000": 6.4, "rdc-7": 7.18, "rdc-i500": 7.18, "rdc-i700": 7.18,
+})
+_add("rollei", {
+    "d20 motion": 7.18, "d210 motion": 4.54, "d23 com": 7.6, "d33 com": 7.18,
+    "d41 com": 7.18, "d530 flex": 8.8, "dcx 310": 7.18, "dcx 400": 7.18,
+    "dp6500": 7.18, "dr 5100": 7.18,
+})
+_add("samsung", {
+    "d830": 7.18, "digimax 101": 6.4, "digimax 130": 4.54,
+    "digimax 201": 4.54, "digimax 202": 6.4, "digimax 240": 4.54,
+    "digimax 250": 4.54, "digimax 330": 7.18, "digimax 340": 7.18,
+    "digimax 35 mp3": 4.8, "digimax 350se": 7.18, "digimax 360": 7.18,
+    "digimax 410": 7.18, "digimax 420": 7.18, "digimax 50 duo": 4.8,
+    "digimax 530": 7.18, "digimax a5": 7.18, "digimax a6": 7.18,
+    "digimax a7": 7.18, "digimax d103": 7.18, "digimax l85": 7.18,
+    "digimax s1000": 7.18, "digimax v3": 7.18, "digimax v4": 7.18,
+    "digimax v40": 7.18, "digimax v4000": 7.18, "digimax v5": 7.18,
+    "digimax v50": 7.18, "digimax v600": 7.18, "digimax v70": 7.18,
+    "gx-10": 23.5, "gx-1l": 23.5, "gx-1s": 23.5, "gx-20": 23.5, "l310w": 7.6,
+    "l80": 7.18, "nv10": 7.18, "nv100 hd": 7.6, "nv11": 7.18, "nv15": 7.3,
+    "nv20": 7.6, "nv8": 7.3, "pro 815": 8.8, "pro815": 8.8, "s1030": 7.18,
+    "s1050": 7.18, "s830": 7.18, "s850": 7.18, "sl310w": 7.6, "tl34hd": 7.6,
+    "tl500": 7.6,
+})
+_add("sanyo", {
+    "vpc az1": 7.18, "vpc az3 ex": 7.18, "vpc mz1": 7.18, "vpc mz2": 7.18,
+})
+_add("sony", {
+    "cybershot dsc f505": 6.4, "cybershot dsc f55": 6.4,
+    "cybershot dsc p3": 7.18, "cybershot dsc p9": 7.18,
+    "cybershot dsc rx100 ii": 13.2, "cybershot dsc s70": 7.18,
+    "cybershot dsc s75": 7.18, "cybershot dsc s85": 7.18,
+    "cybershot dsc-qx100": 13.2, "cybershot dsc-rx100 iii": 13.2,
+    "mavica cd300": 7.18, "mavica cd400": 7.18, "mavica cd500": 7.18,
+    "mavica fd-71": 6.4, "mavica fd-73": 6.4, "mavica fd-75": 7.18,
+    "mavica fd-81": 4.8, "mavica fd-83": 4.8, "mavica fd-88": 4.8,
+    "mavica fd-91": 4.8, "qx1": 23.5,
+})
+_add("teracube", {
+    "one": 4.8,
+})
+_add("toshiba", {
+    "pdr 3300": 7.18, "pdr 3310": 7.18, "pdr 3320": 7.18, "pdr 4300": 7.18,
+    "pdr 5300": 7.18, "pdr m5": 6.4, "pdr m60": 6.4, "pdr m61": 6.4,
+    "pdr m65": 6.4, "pdr m70": 7.18, "pdr m71": 7.18, "pdr m81": 7.18,
+})
+_add("vivitar", {
+    "v8025": 7.18, "vivicam 8300s": 7.18, "vivicam 8400": 7.18,
+    "vivicam 8600": 7.18, "vivicam 8600s": 7.18, "vivicam 8625": 7.18,
+    "vivicam x30": 7.18, "vivicam x60": 7.18,
+})
+_add("yakumo", {
+    "mega image 35": 7.18, "mega image 45": 7.18, "mega image 55cx": 7.18,
+    "mega image 57": 7.18, "mega image 57x": 7.18, "mega image 610x": 7.18,
+    "mega image 67x": 7.18, "mega image 811x": 7.18, "mega image ii": 7.18,
+    "mega image iv": 7.18, "mega image vi": 7.18, "mega image vii": 6.4,
+    "mega image x": 7.18, "mega image xs": 6.4,
 })

@@ -129,6 +129,29 @@ def test_sensor_lookup_normalizes_vendor_noise():
         assert sensors.sensor_width(key) == pytest.approx(expect), (make, model)
 
 
+def test_sensor_wave5_long_tail():
+    """Wave-5 long-tail classes (tools/sensor_wave.py:classify5): first-
+    generation 1/3" CCD compacts, the KAI-family 1/1.75" Kodak DC line,
+    the 1/1.8" 4-8MP generation, SuperCCD 1/1.6", APS-H DSLRs, Leica S,
+    645 medium format — plus the two wave-5 corrections to earlier waves
+    (Olympus C-2000Z 1/2", Samsung Pro815 2/3")."""
+    cases = {
+        ("Canon", "Canon PowerShot S400"): 7.18,
+        ("NIKON", "E995"): 7.18,
+        ("EASTMAN KODAK COMPANY", "KODAK DC265"): 7.3,
+        ("FUJIFILM", "FinePix S9000"): 8.08,  # via flat "s9000 zoom" key
+        ("Canon", "Canon EOS-1D Mark II N"): 27.9,
+        ("Leica Camera AG", "S2"): 45.0,
+        ("Phase One", "One iXM-RS100F"): 53.7,
+        ("OLYMPUS OPTICAL CO.,LTD", "C-2000Z"): 6.4,
+        ("Samsung Techwin", "Pro815"): 8.8,
+        ("SONY", "QX1"): 23.5,
+    }
+    for (make, model), expect in cases.items():
+        key = exif.sensor_string(make, model)
+        assert sensors.sensor_width(key) == pytest.approx(expect), (make, model)
+
+
 def test_exif_corpus_focal_priors():
     """End-to-end compute_focal over a synthetic EXIF corpus spanning DSLR,
     compact, phone and drone vendors: every body must resolve a nonzero

@@ -237,6 +237,481 @@ def classify(brand, model_tokens):
     return early.get(brand)
 
 
+# Extra format widths used by wave 5 (mm): the long tail reaches sensor
+# classes the first four waves never needed.
+F5 = dict(
+    t36=4.54,    # 1/3.6"
+    t175=7.3,    # 1/1.75" (late-90s Kodak KAI family, Ricoh GX100)
+    t165=7.76,   # 1/1.65"
+    t16=8.08,    # 1/1.6" (Fujifilm SuperCCD HR/EXR)
+    one=13.2,    # 1" (Sony RX100/QX100 class)
+    apsh=27.9,   # APS-H (Canon 1D, Kodak DCS 5xx/6xx/7xx, Leica M8)
+    ffv=36.0,    # 35mm full frame (video/still)
+    leica_s=45.0,  # Leica S 45x30 ProFormat
+    mf=53.7,     # 645 medium format
+)
+
+
+def classify5(brand, mt):
+    """Wave-5 rules: per-product-line sensor classes for the remaining
+    long tail.  Same protocol — class conventions in, reference audit
+    (>10% veto) out; the audit DROPS wrong guesses, never corrects them."""
+    model = " ".join(mt)
+    n = _num(model)
+
+    if brand == "acer" and re.match(r"^c[ipr]-", model):
+        return F["t18"]
+    if brand == "aerovironment":
+        return F["t233"]  # Quantix mapping drone: 1/2.3" class
+    if brand == "agfaphoto":
+        if model.startswith("ephoto") or model == "optima 3" or \
+                model == "dc-2030m":
+            return F["t2"]  # late-90s ePhoto line: 1/2" CCDs
+        if model in ("dc-302", "dc-500"):
+            return F["t3"]
+        if model.startswith("dc-8"):
+            return F["t18"]
+    if brand == "benq" and mt[0] == "dc":
+        rest = " ".join(mt[1:])
+        if re.match(r"^\d{4}$", rest):
+            return F5["t36"]  # DC 2300/3400 budget 1.3-3MP
+        if rest == "c1050":
+            return F["t17"]
+        if rest in ("e30", "e300", "e310"):
+            return F["t2"]
+        if re.match(r"^[cep]\d+$", rest):
+            return F["t18"]  # mid-2000s C/E/P lines
+    if brand == "canon":
+        if model.startswith("digital ixus") or model.startswith("ixy"):
+            return F["t18"]  # 4-8MP ELPH generation
+        if model.startswith("eos-1d"):
+            if model == "eos-1d c":
+                return F5["ffv"]
+            return F5["apsh"]
+        if model in ("powershot 350", "powershot 600", "powershot a5",
+                     "powershot a5 zoom", "powershot a50"):
+            return F["t3"]  # first-generation PowerShots
+        if model == "powershot a100":
+            return F5["t36"]
+        if model in ("powershot a650 is", "powershot n100",
+                     "powershot sd950 is", "s200"):
+            return F["t17"]
+        if model == "powershot pro1":
+            return F["tw23"]
+        if model == "powershot pro70":
+            return F["t2"]
+        if "pro90" in model:
+            return F["t18"]
+        if model == "powershot s10":
+            return F["t2"]
+        if re.match(r"^powershot s\d+$", model):
+            return F["t18"]  # S20/S4xx/S5xx
+    if brand == "casio":
+        if model.startswith("gv-"):
+            return F5["t36"]
+        if re.match(r"^qv-[37]0+$", model) or model == "qv-770":
+            return F["t3"]  # early QV line
+        if re.match(r"^qv-[578][05]?00sx$", model):
+            return F["t3"]
+        if model == "qv-2000ux":
+            return F["t2"]
+        if model.startswith(("qv-3", "qv-4", "qv-5700", "qv-r")):
+            return F["t18"]
+        if model == "exilim pro ex-f1":
+            return F["t18"]
+        if model.startswith("exilim ex-z1200"):
+            return F["t17"]
+    if brand == "concord":
+        # Eye-Q family: class by leading megapixel digit.
+        if "lcd" in mt or model.endswith("lcd"):
+            return F["t2"]
+        if n is None:
+            return F["t2"]
+        lead = int(str(n)[0])
+        if n >= 1000 and len(str(n)) == 4 and str(n)[0] in "45561":
+            lead = int(str(n)[0])
+        return F["t18"] if lead >= 4 else F["t2"]
+    if brand == "contax":
+        if model == "n digital":
+            return F5["ffv"]
+        if model == "tvs digital":
+            return F["t18"]
+    if brand == "dji" and model == "zenmusep1":
+        return F5["ffv"]
+    if brand == "epson" and mt[0] == "photopc":
+        if n and n < 750:
+            return F["t3"]
+        if n and n < 1000:
+            return F["t2"]
+        return F["t18"]  # PhotoPC 3000/3100
+    if brand == "fujifilm":
+        if model == "bigjob hd1":
+            return F["t27"]
+        if model in ("digital q1", "ds-260hd"):
+            return F["t2"]
+        if model == "ds-300":
+            return F["tw23"]
+        if model == "finepix 50i" or model.startswith("finepix m603"):
+            return F["t17"]
+        if re.match(r"^finepix [aj]x\d", model):
+            return F["t23"]
+        if model.startswith("finepix e550"):
+            return F["t17"]
+        if model.startswith("finepix e900"):
+            return F5["t16"]
+        if model in ("finepix f305exr", "finepix z950exr"):
+            return F["t2"]
+        if re.match(r"^finepix f4[012]\d", model):
+            return F["t27"]
+        if re.match(r"^finepix f[46][4-8]\d", model):
+            return F["t25"]
+        if model == "finepix is pro":
+            return F["apsc_n"]
+        if model == "finepix is-1":
+            return F5["t16"]
+        if model == "finepix pr21":
+            return F["t2"]
+        if model == "finepix s100fs":
+            return F["tw23"]
+        if re.match(r"^finepix s20\dexr$", model):
+            return F5["t16"]
+        if re.match(r"^finepix s3[0-9]{2,3}", model) or \
+                re.match(r"^finepix s5[015]\d\d", model):
+            return F["t27"]  # budget S3000/S5000 line
+        if model.startswith(("finepix s602", "finepix s7000")):
+            return F["t17"]
+        if model.startswith(("finepix s9000", "finepix s9100")):
+            return F5["t16"]
+        if model.startswith("mx-"):
+            return F["t2"]
+        if model == "xf1":
+            return F["tw23"]
+    if brand == "ge" and re.match(r"^e12[34]\d$", model):
+        return F["t17"]
+    if brand == "gitup":
+        return F["t23"]
+    if brand == "hasselblad" and model.startswith("l2d"):
+        return F["ft"]  # Mavic 3 gimbal camera: 4/3
+    if brand == "hp" and mt[0] == "photosmart":
+        rest = " ".join(mt[1:])
+        if rest.startswith("c"):
+            return F["tw23"]  # late-90s C-line: 2/3" CCDs
+        if rest == "120":
+            return F["t2"]
+        if rest == "620":
+            return F["t3"]
+        if rest == "635":
+            return F5["t36"]
+        return F["t18"]  # 7xx/8xx/9xx/mz
+    if brand == "jenoptik":
+        if model.startswith("jd c"):
+            return F["t18"] if "50" in mt else F["t2"]
+        if re.match(r"^jd 1[35]00", model):
+            return F["t2"]
+        if model.startswith("jd 21"):
+            return F5["t36"]
+        if model.startswith("jd 31"):
+            return F["t2"]
+        return F["t18"]  # 3MP+ JD models
+    if brand == "jvc" and model.startswith("gc-qx"):
+        return F["t18"]
+    if brand == "kodak":
+        if model.startswith("dcs pro"):
+            return F5["ffv"]
+        if model.startswith("dcs"):
+            if model in ("dcs315", "dcs460", "dcs520", "dcs560",
+                         "dcs620", "dcs660", "dcs760"):
+                return F5["apsh"]
+            return None  # 330/420/620x/720x: odd one-off formats
+        if re.match(r"^dc2\d\d", model) or model in ("dc4800", "dc5000"):
+            return F5["t175"]  # KAI-family CCDs
+        if re.match(r"^dc3[2348]00$", model) or model == "dc280":
+            return F["t17"]
+        if model in ("easyshare m215", "easyshare mini", "m590"):
+            return F["t3"]
+        if model.startswith("easyshare v12") or \
+                model.startswith("easyshare z1485"):
+            return F["t17"]
+        if model.startswith(("easyshare v10", "easyshare z10")):
+            return F5["t165"]
+        if model.startswith(("easyshare ls", "ls")):
+            return F["t18"]
+        if model == "mc3":
+            return F["t2"]
+        if model == "s-1":
+            return F["ft"]
+    if brand == "konica":
+        if "dynax" in model:
+            return F["apsc"]
+        if model == "q-m100":
+            return F["t3"]
+        if model == "q-m200":
+            return F["t2"]
+        if model == "revio kd-220z":
+            return F5["t36"]
+        if model.startswith(("revio kd", "revio")):
+            return F["t18"]
+    if brand == "konica-minolta":
+        if model == "dimage a2":
+            return F["tw23"]
+        if model == "dimage e40":
+            return F["t2"]
+        if model == "dimage g600":
+            return F["t18"]
+        if model == "dimage x31":
+            return F5["t36"]
+    if brand == "kyocera" and model.startswith("finecam"):
+        return F["t18"]
+    if brand == "leica":
+        if model.startswith("d-lux"):
+            return F5["t165"]
+        if model == "digilux 1" or model == "digilux 43":
+            return F["t17"]
+        if model == "digilux 3":
+            return F["ft"]
+        if model.startswith("digilux"):
+            return F["t2"]
+        if model.startswith(("m typ", "m-p")):
+            return F5["ffv"]
+        if model.startswith(("m-e", "m9")):
+            return F["ff"]
+        if model == "m82":
+            return F5["apsh"]
+        if model.startswith(("s type", "s-e")) or model == "s2":
+            return F5["leica_s"]
+        if model == "x-e":
+            return F["apsc_n"]
+    if brand == "lge" and "nexus" in model:
+        return F["t32"]
+    if brand == "minolta":
+        if model.startswith(("dimage 23", "dimage e201")):
+            return F["t17"]
+        if model.startswith("dimage ex"):
+            return F["t2"]
+        if model in ("dimage f300", "dimage g500"):
+            return F["t18"]
+        if model == "rd-3000":
+            return F["t2"]  # twin 1/2" CCD SLR
+    if brand == "minox":
+        if model.startswith("classic leica"):
+            return F["t2"]
+        if model == "dc 2133":
+            return F5["t36"]
+        if re.match(r"^dc 10[12]\d", model):
+            return F["t17"]
+        if model.startswith("dc "):
+            return F["t18"]
+        return F["t2"]  # dd/dm/mobi/rolleiflex toy line
+    if brand == "nikon":
+        if model.startswith("coolpix"):
+            rest = mt[1] if len(mt) > 1 else ""
+            if rest in ("100", "300"):
+                return F["t3"]
+            if rest in ("700", "800", "910", "950"):
+                return F["t2"]
+            if rest in ("880", "990", "4200", "p5000"):
+                return F["t18"]
+            if rest == "5600":
+                return F["t25"]
+            if rest == "8400":
+                return F["tw23"]
+            if rest == "p5100":
+                return F["t17"]
+            if rest in ("s02", "s30", "s32"):
+                return F["t3"]
+            if rest == "sq":
+                return F["t27"]
+            return None
+        if re.match(r"^e[23]n?s?$", model):
+            return F["tw23"]  # E2/E3 pro series
+        if model in ("e5000", "e5700", "e8800"):
+            return F["tw23"]
+        if re.match(r"^e\d{3,4}$", model):
+            return F["t18"]  # E99x/E4xxx/E5xxx/E7xxx Coolpix EXIF names
+    if brand == "nokia":
+        if model == "n93":
+            return F["t32"]
+        return F["t27"]  # N80/N95
+    if brand == "olympus":
+        if model.startswith("az-"):
+            return F["t27"]
+        if model == "c-1000l":
+            return F["t2"]
+        if model.startswith(("c-1400", "c-2500")):
+            return F["tw23"]
+        if re.match(r"^c-2[01]\d\d", model) or model == "c-21":
+            return F["t2"]  # 2MP C-zoom generation
+        if model == "c-220 zoom":
+            return F5["t36"]
+        if re.match(r"^c-[4-7][05] zoom$", model):
+            return F["t18"]
+        if model == "c-8080 wide zoom":
+            return F["tw23"]
+        if model == "c-820l":
+            return F["t3"]
+        if re.match(r"^d-[23456]\d0l$", model):
+            return F["tw23"]  # late-90s D-*L shared the C-*L CCDs
+        if model in ("d-340r", "d-400 zoom"):
+            return F["t2"]
+        if model in ("d-150z", "d-370", "d-380", "d-390", "d-520 zoom"):
+            return F5["t36"]
+        if model in ("d-40 zoom", "d-460 zoom"):
+            return F["t18"]
+        if model in ("e-10", "e-20"):
+            return F["tw23"]
+        if model == "e-100 rs":
+            return F["t2"]
+        if model == "fe-250":
+            return F["t18"]
+        if model == "fe-300" or model == "stylus 1200":
+            return F["t17"]
+        if model.startswith(("mju 800", "stylus 800", "stylus 810",
+                             "stylus 1000")):
+            return F["t18"]
+    if brand == "panasonic":
+        if model.startswith("d-snap"):
+            return F5["t36"]
+        if model.startswith(("lumix dmc-lc", "lumix dmc-lf1")):
+            return F["t17"]
+        if model.startswith("pv dc"):
+            return F["t18"]
+    if brand == "pentax":
+        if model.startswith("*ist"):
+            return F["apsc"]
+        if model == "ei-100":
+            return F5["t36"]
+        if model == "ei-2000":
+            return F["tw23"]
+        if model == "optio s12":
+            return F["t17"]
+        if model.startswith("optio") and "ls" not in model:
+            return F["t18"]
+    if brand == "phantom":
+        return F["t23"]  # DJI Phantom FC200
+    if brand == "phase":
+        return F5["mf"]
+    if brand == "praktica":
+        if model in ("dc 20", "dc slim 2"):
+            return F["t2"]
+        if model == "dc slim 5":
+            return F["t18"]
+        if model.startswith("dcz"):
+            rest = mt[1] if len(mt) > 1 else ""
+            if rest == "101":
+                return F["t18"]
+            if rest in ("20", "21"):
+                return F["t3"]
+            if rest == "21" and "s" in mt:
+                return F5["t36"]
+            if rest in ("13", "22", "30"):
+                return F["t2"]
+            if rest in ("32d", "32s"):
+                return F["t2"]
+            return F["t18"]  # dcz 32/33/4x/5x
+        if model == "dmmc" or model.startswith("dmmc"):
+            return F["t3"]
+        if model.startswith("dpix"):
+            if "5000" in model:
+                return F5["t36"]
+            if model in ("dpix 3200", "dpix 3300"):
+                return F["t3"]
+            return F["t2"]
+        if model.startswith("exakta"):
+            return F["t18"]
+        if model.startswith("luxmedia"):
+            return F["t17"] if "12" in mt else F["t18"]
+        return F["t2"]  # digi/digicam/g/v/mini bodies
+    if brand == "ricoh":
+        if model.startswith("caplio rr1") and model != "caplio rr1":
+            return F5["t36"]  # rr120/rr230
+        if model.startswith("caplio gx100"):
+            return F5["t175"]
+        if model.startswith("caplio gx200"):
+            return F["t17"]
+        if model.startswith(("caplio 500", "caplio rr")):
+            return F["t18"]
+        if model.startswith("gxr"):
+            return F["t23"] if "p10" in model else F["apsc_n"]
+        if model in ("rdc-200g", "rdc-6000"):
+            return F["t2"]
+        if model == "rdc-4300":
+            return F["t3"]
+        if model.startswith(("rdc-7", "rdc-i")):
+            return F["t18"]
+    if brand == "rollei":
+        if model == "d210 motion":
+            return F5["t36"]
+        if model == "d23 com":
+            return F["t17"]
+        if model == "d530 flex":
+            return F["tw23"]
+        if model.startswith(("d", "dcx", "dp", "dr")) and \
+                not model.startswith("da"):
+            return F["t18"]
+    if brand == "samsung":
+        if model.startswith("digimax"):
+            rest = mt[1] if len(mt) > 1 else ""
+            if rest in ("101", "202"):
+                return F["t2"]
+            if rest in ("130", "201", "240", "250"):
+                return F5["t36"]
+            if rest in ("35", "50"):
+                return F["t3"]
+            if rest == "v6":
+                return None
+            return F["t18"]  # 3xx-5xx, a/d/l/s/v lines
+        if model.startswith("gx-"):
+            return F["apsc"]
+        if model in ("l310w", "sl310w", "nv20", "tl34hd") or \
+                model.startswith("nv100"):
+            return F["t17"]
+        if model in ("nv15", "nv8"):
+            return F5["t175"]
+        if model in ("pro 815", "pro815"):
+            return F["tw23"]
+        if model == "tl500":
+            return F["t17"]
+        if re.match(r"^(d8|l8|nv1[01]|s8|s10)", model):
+            return F["t18"]
+    if brand == "sanyo" and model.startswith("vpc"):
+        return F["t18"]
+    if brand == "sony":
+        if model.startswith("cybershot dsc f5") or \
+                model.startswith("cybershot dsc f50"):
+            return F["t2"]
+        if re.match(r"^cybershot dsc [ps]\d+$", model):
+            return F["t18"]
+        if "rx100" in model.replace("-", "") or "qx100" in model:
+            return F5["one"]
+        if model.startswith("mavica cd"):
+            return F["t18"]
+        if model in ("mavica fd-71", "mavica fd-73"):
+            return F["t2"]
+        if model == "mavica fd-75":
+            return F["t18"]
+        if model.startswith("mavica fd-8") or model == "mavica fd-91":
+            return F["t3"]
+        if model == "qx1":
+            return F["apsc"]
+    if brand == "teracube":
+        return F["t3"]
+    if brand == "toshiba" and mt[0] == "pdr":
+        rest = mt[1] if len(mt) > 1 else ""
+        if rest.startswith("m") and rest in ("m5", "m60", "m61", "m65"):
+            return F["t2"]
+        return F["t18"]
+    if brand == "vivitar":
+        return F["t18"]  # 8MP vivicam generation
+    if brand == "yakumo" and model.startswith("mega image"):
+        rest = " ".join(mt[2:])
+        if rest in ("vii", "xs"):
+            return F["t2"]
+        if rest == "xl":
+            return None
+        return F["t18"]
+    return None
+
+
 def main():
     ref = json.load(open(REF))
     missing = [k for k in ref if sensor_width(k.lower()) is None]
@@ -246,7 +721,9 @@ def main():
         if len(toks) < 2:
             continue
         brand, model_tokens = toks[0], toks[1:]
-        w = classify(brand, model_tokens)
+        w = classify5(brand, model_tokens)
+        if w is None:
+            w = classify(brand, model_tokens)
         if w is None:
             continue
         derived[" ".join(toks)] = (w, ref[k])
