@@ -517,8 +517,11 @@ def bench_e2e_device(dataset_name="berlin", last_stage="compute_depthmaps",
            "match_features": 30}
     for name, action in all_stages[:upto]:
         if time.time() - t_start > budget_s - est.get(name, 0):
+            # Every later stage consumes this one's outputs — running
+            # them against the empty dataset would record meaningless
+            # (fast, degenerate) times, so the whole tail is skipped.
             times[name] = "skipped_budget"
-            continue
+            break
         context.reset_dispatch_counts()
         t0 = time.time()
         action.run_dataset(data)

@@ -1441,11 +1441,16 @@ def make_sharded_schur_lm_step(
     solvers freely.  Exact where CG is iterative: one trial costs one
     collective of D^2 floats instead of cg_iters collectives of ~6 KB.
 
-    The Schur-correction term is ONE big matmul B^T B with
-    B[3p+b, col] = (W_p U_p)[col, b], W_p = H_cp rows of point p and
-    Hpp^-1 = U U^T — the MXU-shaped formulation (the r4 CG decomposition
-    measured 85% of the matvec in gathers/scatters; here the only
-    scatters are once-per-trial segment-sums of the direct blocks).
+    The Schur-correction term is a handful of family-pair matmuls
+    contracting the [NL, d_f, 3] whitened point-coupling tensors
+    V_f[p, col, b] = (W_pf U_p)[col, b] (W_pf = H_cp rows of point p for
+    family f, Hpp^-1 = U U^T) over the (point, Cholesky-column) axes —
+    the MXU-shaped formulation (the r4 CG decomposition measured 85% of
+    the matvec in gathers/scatters; here the only scatters are
+    once-per-trial segment-sums of the direct blocks).  Blockwise rather
+    than one B^T B of the concatenated B = [3*NL, D]: same flops, but no
+    ~600 MB B materialize/transpose/concat HBM passes (22 vs 44 ms at
+    the 256-cam/262k-obs chip lane).
     Intended for moderate camera counts: per-trial assembly flops scale
     as NP_shard * D^2 * 6 (`_schur_eligible` gates the product route;
     matrix-free CG remains the path beyond).  Replaces the reference's
@@ -1508,20 +1513,27 @@ def make_sharded_schur_lm_step(
                 Fc.reshape(O_local, pmax * 3), key_c,
                 num_segments=NL * nc,
             ).reshape(NL, nc, pmax, 3)
-        parts = [Vi.transpose(0, 3, 1, 2).reshape(3 * NL, 6 * ni)]
+        # Blockwise Schur correction: contract each family pair over the
+        # (point, cholesky-column) axes directly from the [NL, d_f, 3]
+        # family tensors.  Equivalent to concatenating B = [3*NL, D] and
+        # one B^T B, but skips materializing/transposing/concatenating the
+        # ~600 MB B (three HBM passes) — measured 43.5 -> 22.3 ms on the
+        # 256-cam/262k-obs chip lane (r5 decomposition).
+        fams = [(Vi.reshape(NL, ni * 6, 3), 0)]
         if rig_opt:
             Fr = jnp.einsum("oki,okb->oib", L.Jr, JpU)
             key_r = L.local_point * nr + L.obs_rigcam
             Vr = jax.ops.segment_sum(
                 Fr.reshape(O_local, 18), key_r, num_segments=NL * nr,
             ).reshape(NL, nr, 6, 3)
-            parts.append(Vr.transpose(0, 3, 1, 2).reshape(3 * NL, 6 * nr))
-        parts.append(Vc.transpose(0, 3, 1, 2).reshape(3 * NL, pmax * nc))
-        B = jnp.concatenate(parts, axis=1)  # [3*NL, D]
-        S_corr = jax.lax.dot_general(
-            B, B, (((0,), (0,)), ((), ())),
-            preferred_element_type=dtype,
-        )
+            fams.append((Vr.reshape(NL, nr * 6, 3), off_r))
+        fams.append((Vc.reshape(NL, nc * pmax, 3), off_c))
+
+        def _corr_blk(x, y):
+            return jax.lax.dot_general(
+                x, y, (((0, 2), (0, 2)), ((), ())),
+                preferred_element_type=dtype,
+            )
 
         # --- direct blocks (once-per-trial segment sums) ----------------
         blk_ii = L.red_i(
@@ -1611,7 +1623,15 @@ def make_sharded_schur_lm_step(
             S = S.at[off_c:off_s, off_r:off_c].add(Xrc.T)
         # Points never couple to the scale variables, so the Schur
         # correction only touches the instance/rig/camera block.
-        S = S.at[:off_s, :off_s].add(-S_corr)
+        for i1, (V1, o1) in enumerate(fams):
+            for i2, (V2, o2) in enumerate(fams):
+                if i2 < i1:
+                    continue
+                blk = _corr_blk(V1, V2)
+                d1, d2 = V1.shape[1], V2.shape[1]
+                S = S.at[o1:o1 + d1, o2:o2 + d2].add(-blk)
+                if i2 > i1:
+                    S = S.at[o2:o2 + d2, o1:o1 + d1].add(-blk.T)
 
         # --- ONE collective: the reduced system + RHS --------------------
         m_parts = [L.opt_i6.reshape(-1)]
@@ -1722,11 +1742,12 @@ def make_sharded_schur_lm_step(
 def _schur_eligible(problem: BAProblem, n_shards: int) -> bool:
     """Whether the assembled-Schur sharded step is the right solver for
     this (already sharded) problem: per-trial assembly cost is
-    NP_shard * D^2 * 6 flops for the B^T B contraction plus a [3*NP_shard,
-    D] B matrix in HBM — a few ms at <= ~512 cameras, growing
+    NP_shard * D^2 * 6 flops for the family-pair Schur-correction
+    contractions plus the [NL, d_f, 3] family tensors (~B-sized: 3 *
+    NP_shard * D floats) in HBM — a few ms at <= ~512 cameras, growing
     quadratically beyond (matrix-free CG stays the path there — the r4
-    decomposition's crossover).  Gated on flops (<= ~2e11/shard) and B
-    memory (<= ~768 MB/shard)."""
+    decomposition's crossover).  Gated on flops (<= ~2e11/shard) and
+    family-tensor memory (<= ~768 MB/shard)."""
     ni, nr, nc, npts, O, T = problem.counts()
     rig_opt = bool(np.asarray(problem.opt_rigcam).any())
     D = 6 * ni + (6 * nr if rig_opt else 0) + problem.cam.shape[1] * nc
