@@ -380,6 +380,66 @@ def bench_schur_sharded(jax, jnp, n_shots=256, n_points=32768,
                     track_len=track_len, trials=trials, solver="schur")
 
 
+def bench_dense_grid_sharded(jax, jnp, n_shots=256, n_points=32768,
+                             track_len=8, trials=24):
+    """Dense-grid sharded LM trials (round 5): the SAME sparse 256-cam /
+    262k-obs problem as the CG/schur lanes, densified onto the
+    zero-padded [NP, NI] grid (32x slots) and run through
+    `make_sharded_lm_block_dense` — fused Pallas assembly + cost per
+    shard.  This is what `bundle_distributed: auto` now routes mono
+    maps through."""
+    from jax.sharding import Mesh
+
+    from __graft_entry__ import _make_problem
+    from opensfm_tpu.parallel.distributed_ba import (
+        _DENSE_BLOCK_NAMES,
+        _DENSE_GRID_MAX_SLOTS,
+        _dense_block_args,
+        make_sharded_lm_block_dense,
+        shard_problem_dense,
+    )
+
+    problem = _make_problem(
+        n_shots=n_shots, n_points=n_points, seed=0, track_window=track_len
+    )
+    O_real = int(np.sum(np.asarray(problem.obs_inv_sd) > 0))
+    mesh = Mesh(np.array(jax.devices()[:1]), ("points",))
+    dproblem, _ = shard_problem_dense(
+        problem, 1, max_waste=1 << 30, max_slots=_DENSE_GRID_MAX_SLOTS
+    )
+    ni, nr, nc = (len(dproblem.inst), len(dproblem.rigcam),
+                  len(dproblem.cam))
+    pmax = dproblem.cam.shape[1]
+    block_size = 8
+    block_fn = make_sharded_lm_block_dense(
+        mesh, "points", ni, nr, nc, pmax, block_size=block_size, tol=0.0,
+    )
+    a = _dense_block_args(dproblem, jnp.float32)
+
+    def one_block():
+        out = block_fn(
+            jnp.asarray(1e9, jnp.float32), jnp.asarray(1e-4, jnp.float32),
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(block_size, jnp.int32),
+            *(a[k] for k in _DENSE_BLOCK_NAMES),
+        )
+        stats = np.asarray(out[-1])
+        return int(stats[4])
+
+    one_block()  # warmup/compile
+    n_blocks = max(1, -(-trials // block_size))
+    done = 0
+    t0 = time.time()
+    for _ in range(n_blocks):
+        done += one_block()
+    dt = time.time() - t0
+    meta = dict(
+        variant="dense_grid", shots=n_shots, points=n_points, obs=O_real,
+        grid_slots=len(dproblem.points) * ni, block_size=block_size,
+    )
+    return done / dt, meta
+
+
 def bench_features(jax, jnp):
     """On-chip feature extraction throughput: N frames per jitted call so the
     tunnel round-trip (~300 ms on axon) does not dominate the measurement —
@@ -555,6 +615,19 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    # Persistent compilation cache, scoped by the host-CPU fingerprint
+    # (tests/conftest.py rationale: shared cross-machine CPU entries can
+    # SIGILL).  TPU programs cache too, so a warm driver run skips the
+    # ~20-40 s first-compiles and fits more lanes in the budget.
+    from opensfm_tpu import host_cpu_fingerprint
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        f"/tmp/jax_bench_cache-{host_cpu_fingerprint()}",
+    )
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
     extra = {}
     # Global deadline: the driver gives the bench a bounded window (round 4
     # proved the window < 24 min: BENCH_r04.json rc=124, parsed=null).  Two
@@ -696,6 +769,16 @@ def main() -> None:
         emit()
     except Exception as e:  # pragma: no cover
         print(f"assembled-Schur bench failed: {e}", file=sys.stderr)
+    if not skip("ba_dense_grid_sharded", 60):
+        try:
+            dg_rate, dg_meta = bench_dense_grid_sharded(jax, jnp)
+            extra["ba_dense_grid_sharded_trials_per_s"] = round(dg_rate, 2)
+            extra["ba_dense_grid_sharded_lane"] = dg_meta
+            emit()
+        except Exception as e:  # pragma: no cover
+            print(f"dense-grid bench failed: {e}", file=sys.stderr)
+    else:
+        emit()
     for variant in ("plain", "rig", "up", "depth"):
         if skip(f"ba_cg_{variant}", 45 if variant != "plain" else 60):
             emit()

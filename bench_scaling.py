@@ -49,11 +49,22 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Fingerprint-scoped persistent compilation cache (tests/conftest.py
+# rationale — and warm driver re-runs).
+from opensfm_tpu import host_cpu_fingerprint  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    f"/tmp/jax_bench_cache-{host_cpu_fingerprint()}",
+)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 import numpy as np
 import jax.numpy as jnp
 from jax.sharding import Mesh
-
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from __graft_entry__ import _make_problem
 from opensfm_tpu.parallel import make_sharded_cg_lm_step, shard_problem

@@ -519,7 +519,8 @@ def canonicalize_problem(problem: "BAProblem") -> "BAProblem":
     return dataclasses.replace(problem, **repl)
 
 
-def canonicalize_problem_dense(problem: "BAProblem"):
+def canonicalize_problem_dense(problem: "BAProblem", max_waste: int = 8,
+                               max_slots: int = 1 << 22):
     """Re-layout observations on the dense [NP, NI] instance-slot grid.
 
     Slot index == rig-instance index, so `obs_inst == tile(arange(NI), NP)`
@@ -529,8 +530,13 @@ def canonicalize_problem_dense(problem: "BAProblem"):
     Dead (point, instance) slots carry obs_inv_sd == 0.
 
     Applies only to mono single-camera problems (identity rig chain, one
-    camera) whose densified size stays within 8x the real observation count
-    (or 4M slots); anything else falls back to `canonicalize_problem`.
+    camera) whose densified size stays within `max_waste` x the real
+    observation count (or `max_slots` slots); anything else falls back to
+    `canonicalize_problem`.  The distributed dense-grid route passes
+    larger caps: on the MXU the redundant zero-weight slots are cheaper
+    than the sparse layout's index traffic up to far higher waste ratios
+    (the fused Pallas assembly processes the 32x-padded 256-cam bench
+    problem ~4x faster than the sparse assembled-Schur step).
     Returns (problem, dense_flag).
     """
     if not isinstance(problem.ptype, str):
@@ -544,7 +550,8 @@ def canonicalize_problem_dense(problem: "BAProblem"):
         and not bool(np.asarray(problem.opt_rigcam).any())
         and float(np.abs(np.asarray(problem.rigcam)).max(initial=0.0)) <= 1e-12
     )
-    if not mono or O == 0 or (dense_O > 8 * O and dense_O > (1 << 22)):
+    if not mono or O == 0 or (dense_O > max_waste * O
+                              and dense_O > max_slots):
         return canonicalize_problem(problem), False
     o_new = (
         np.asarray(problem.obs_point, dtype=np.int64) * ni

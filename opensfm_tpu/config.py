@@ -168,10 +168,13 @@ DEFAULTS: Dict[str, Any] = dict(
     bundle_distributed="auto",
     bundle_distributed_min_shots=100,
     bundle_distributed_cg_iters=100,
-    # Sharded solver choice: "schur" assembles the reduced camera system
-    # and psums it once per trial (fast at moderate camera counts), "cg"
-    # is matrix-free preconditioned CG (scales past a few thousand
-    # cameras; ~6 KB psum per iteration), "auto" picks by assembly cost.
+    # Sharded solver choice: "dense" runs the fused Pallas assembly/cost
+    # per shard on the zero-padded [NP, NI] grid (mono single-camera
+    # maps at moderate grid sizes — the fastest route when it applies),
+    # "schur" assembles the reduced camera system and psums it once per
+    # trial (sparse layout, moderate camera counts), "cg" is matrix-free
+    # preconditioned CG (scales past a few thousand cameras; ~6 KB psum
+    # per iteration), "auto" picks by eligibility and assembly cost.
     bundle_distributed_solver="auto",
     filter_final_point_cloud=False,
     save_partial_reconstructions=False,

@@ -417,13 +417,16 @@ def make_sharded_lm_step(
 # ---------------------------------------------------------------------------
 
 
-def shard_problem_dense(problem: BAProblem, n_shards: int):
+def shard_problem_dense(problem: BAProblem, n_shards: int,
+                        max_waste: int = 8, max_slots: int = 1 << 22):
     """Densify (slot == instance) and pad points so each shard holds an
     equal, 128-multiple block of points (obs shard contiguously with their
     points in the dense layout).  Returns (problem, per_shard_points)."""
     from opensfm_tpu.ba.lm import canonicalize_problem_dense
 
-    problem, dense = canonicalize_problem_dense(problem)
+    problem, dense = canonicalize_problem_dense(
+        problem, max_waste=max_waste, max_slots=max_slots
+    )
     if not dense:
         raise ValueError("problem is not densifiable (mono single-camera)")
     ni = len(problem.inst)
@@ -465,6 +468,114 @@ def shard_problem_dense(problem: BAProblem, n_shards: int):
     return problem, per_shard
 
 
+def _dense_grid_data(a, ni, with_pp_loss=False):
+    """The lm-layer `data` dict for a per-shard dense [np_local, NI] grid
+    (mirrors what `canonicalize_problem_dense` lays out, with the implicit
+    obs index arrays rebuilt shard-locally)."""
+    points = a["points"]
+    np_local = points.shape[0]
+    num_obs = np_local * ni
+    izeros = jnp.zeros(num_obs, dtype=jnp.int32)
+    data = dict(
+        obs_uv=a["obs_uv"], obs_inv_sd=a["obs_inv_sd"],
+        obs_point=jnp.repeat(jnp.arange(np_local, dtype=jnp.int32), ni),
+        obs_inst=jnp.tile(jnp.arange(ni, dtype=jnp.int32), np_local),
+        obs_rigcam=izeros, obs_cam=izeros,
+        point_obs=jnp.arange(num_obs, dtype=jnp.int32).reshape(
+            np_local, ni
+        ),
+        gps_pos=a["gps_pos"], gps_inv_sd=a["gps_inv_sd"],
+        cam_prior=a["cam_prior"], cam_prior_inv_sd=a["cam_prior_inv_sd"],
+        cam_log_mask=a["cam_log_mask"], rigcam_prior=a["rigcam_prior"],
+        rigcam_prior_inv_sd=a["rigcam_prior_inv_sd"],
+        point_prior=a["point_prior"],
+        point_prior_inv_sd=a["point_prior_inv_sd"],
+        opt_inst=a["opt_inst"], opt_rigcam=a["opt_rigcam"],
+        opt_cam=a["opt_cam"], opt_points=a["opt_points"],
+        up_inst=jnp.zeros(0, jnp.int32),
+        up_rigcam=jnp.zeros(0, jnp.int32),
+        up_vec=jnp.zeros((0, 3), points.dtype),
+        up_inv_sd=jnp.zeros(0, points.dtype),
+        ang_kind=jnp.zeros(0, jnp.int32),
+        ang_inst=jnp.zeros(0, jnp.int32),
+        ang_rigcam=jnp.zeros(0, jnp.int32),
+        ang_value=jnp.zeros(0, points.dtype),
+        ang_inv_sd=jnp.zeros(0, points.dtype),
+        obs_depth=jnp.zeros(num_obs, points.dtype),
+        obs_depth_inv_sd=jnp.zeros(num_obs, points.dtype),
+        obs_depth_radial=jnp.zeros(num_obs, bool),
+    )
+    if with_pp_loss:
+        data["point_prior_loss"] = a["point_prior_loss"]
+    return data
+
+
+def _dense_grid_step(state, data, lam, axis, ni, nr, nc, pmax, loss,
+                     loss_threshold):
+    """One dense-grid LM step body (shard-local): the fused Pallas
+    reduced-system assembly over the local point block, ONE psum of the
+    block families, replicated priors/damping epilogue + QR solve,
+    shard-local back-substitution.  Returns (inst, cam, points)."""
+    from opensfm_tpu.ba import lm as _lm
+
+    inst, rigcam, cam, points = state
+    blocks, back = _lm._build_reduced_system(
+        state, data, lam, "perspective", loss, loss_threshold, pmax,
+        ni, nr, nc, False, canonical=True, rig_transform=False,
+        rig_jac=False, dense=True, raw_blocks=True,
+    )
+    blocks = tuple(jax.lax.psum(x, axis) for x in blocks)
+    S, b = _lm._assemble_S(
+        state, data, lam, *blocks, ni, nr, nc, pmax, rig_jac=False,
+    )
+    # QR: the f32 psum-assembled Schur complement can be indefinite at
+    # roundoff scale, which NaNs a Cholesky factor.
+    dx_c = tpu_linalg.solve_qr(S, b)
+    di, dr = ni * 6, nr * 6
+    dx_i = dx_c[:di].reshape(ni, 6)
+    dx_cam = dx_c[di + dr:].reshape(nc, pmax)
+    dx_p = _lm._back_substitute(back, dx_i, dx_c[di:di + dr].reshape(nr, 6),
+                                dx_cam, ni, pmax)
+    return inst - dx_i, cam - dx_cam, points - dx_p
+
+
+def _dense_grid_cost(state, data, axis, pmax, loss, loss_threshold):
+    """Total objective over the dense-grid sharded layout: shard-local
+    observation + point-prior cost (via lm._total_cost with the
+    replicated prior families' inv_sd zeroed, so they contribute exactly
+    0) psum-ed, plus the replicated prior families added once — matching
+    lm._total_cost term for term."""
+    from opensfm_tpu.ba import lm as _lm
+
+    inst, rigcam, cam, points = state
+    acc = _acc_dtype(points.dtype)
+    zeroed = dict(
+        data,
+        gps_inv_sd=jnp.zeros_like(data["gps_inv_sd"]),
+        cam_prior_inv_sd=jnp.zeros_like(data["cam_prior_inv_sd"]),
+        rigcam_prior_inv_sd=jnp.zeros_like(data["rigcam_prior_inv_sd"]),
+    )
+    local = _lm._total_cost(
+        state, zeroed, "perspective", loss, loss_threshold, pmax,
+        with_depth=False, rig_transform=False, rig_jac=False,
+        canonical=True, dense=True,
+    )
+    total = jax.lax.psum(local.astype(acc), axis)
+    gr = jax.vmap(
+        lambda i6, pos, inv: (-rot.rotate(-i6[:3], i6[3:6]) - pos) * inv
+    )(inst, data["gps_pos"], data["gps_inv_sd"][:, None])
+    cp_r = _cam_prior_residual(
+        cam, data["cam_prior"], data["cam_prior_inv_sd"],
+        data["cam_log_mask"],
+    )
+    rc_r = (rigcam - data["rigcam_prior"]) * data["rigcam_prior_inv_sd"]
+    return total + 0.5 * (
+        jnp.sum((gr * gr).astype(acc))
+        + jnp.sum((cp_r * cp_r).astype(acc))
+        + jnp.sum((rc_r * rc_r).astype(acc))
+    )
+
+
 def make_sharded_lm_step_dense(
     mesh: Mesh,
     axis: str,
@@ -495,60 +606,21 @@ def make_sharded_lm_step_dense(
                    gps_pos, gps_inv_sd, cam_prior, cam_prior_inv_sd,
                    cam_log_mask, rigcam_prior, rigcam_prior_inv_sd,
                    opt_inst, opt_rigcam, opt_cam, lam):
-        np_local = points.shape[0]
-        num_obs = np_local * ni
-        state = (inst, rigcam, cam, points)
-        izeros = jnp.zeros(num_obs, dtype=jnp.int32)
-        data = dict(
-            obs_uv=obs_uv, obs_inv_sd=obs_inv_sd,
-            obs_point=jnp.repeat(
-                jnp.arange(np_local, dtype=jnp.int32), ni
-            ),
-            obs_inst=jnp.tile(jnp.arange(ni, dtype=jnp.int32), np_local),
-            obs_rigcam=izeros, obs_cam=izeros,
-            point_obs=jnp.arange(num_obs, dtype=jnp.int32).reshape(
-                np_local, ni
-            ),
-            gps_pos=gps_pos, gps_inv_sd=gps_inv_sd,
-            cam_prior=cam_prior, cam_prior_inv_sd=cam_prior_inv_sd,
-            cam_log_mask=cam_log_mask, rigcam_prior=rigcam_prior,
-            rigcam_prior_inv_sd=rigcam_prior_inv_sd,
-            point_prior=point_prior, point_prior_inv_sd=point_prior_inv_sd,
-            opt_inst=opt_inst, opt_rigcam=opt_rigcam, opt_cam=opt_cam,
-            opt_points=opt_points,
-            up_inst=jnp.zeros(0, jnp.int32),
-            up_rigcam=jnp.zeros(0, jnp.int32),
-            up_vec=jnp.zeros((0, 3), points.dtype),
-            up_inv_sd=jnp.zeros(0, points.dtype),
-            ang_kind=jnp.zeros(0, jnp.int32),
-            ang_inst=jnp.zeros(0, jnp.int32),
-            ang_rigcam=jnp.zeros(0, jnp.int32),
-            ang_value=jnp.zeros(0, points.dtype),
-            ang_inv_sd=jnp.zeros(0, points.dtype),
-            obs_depth=jnp.zeros(num_obs, points.dtype),
-            obs_depth_inv_sd=jnp.zeros(num_obs, points.dtype),
-            obs_depth_radial=jnp.zeros(num_obs, bool),
+        a = dict(
+            points=points, obs_uv=obs_uv, obs_inv_sd=obs_inv_sd,
+            point_prior=point_prior,
+            point_prior_inv_sd=point_prior_inv_sd, opt_points=opt_points,
+            gps_pos=gps_pos, gps_inv_sd=gps_inv_sd, cam_prior=cam_prior,
+            cam_prior_inv_sd=cam_prior_inv_sd, cam_log_mask=cam_log_mask,
+            rigcam_prior=rigcam_prior,
+            rigcam_prior_inv_sd=rigcam_prior_inv_sd, opt_inst=opt_inst,
+            opt_rigcam=opt_rigcam, opt_cam=opt_cam,
         )
-        blocks, back = _lm._build_reduced_system(
-            state, data, lam, "perspective", loss, loss_threshold, pmax,
-            ni, nr, nc, False, canonical=True, rig_transform=False,
-            rig_jac=False, dense=True, raw_blocks=True,
+        data = _dense_grid_data(a, ni)
+        return _dense_grid_step(
+            (inst, rigcam, cam, points), data, lam, axis, ni, nr, nc,
+            pmax, loss, loss_threshold,
         )
-        # ONE collective: reduce the camera-side block families over ICI.
-        blocks = tuple(jax.lax.psum(x, axis) for x in blocks)
-        # Replicated epilogue (priors, identity rows, damping) + solve.
-        S, b = _lm._assemble_S(
-            state, data, lam, *blocks, ni, nr, nc, pmax, rig_jac=False,
-        )
-        # QR: the f32 psum-assembled Schur complement can be indefinite at
-        # roundoff scale, which NaNs a Cholesky factor.
-        dx_c = tpu_linalg.solve_qr(S, b)
-        di, dr = ni * 6, nr * 6
-        dx_i = dx_c[:di].reshape(ni, 6)
-        dx_r = dx_c[di:di + dr].reshape(nr, 6)
-        dx_cam = dx_c[di + dr:].reshape(nc, pmax)
-        dx_p = _lm._back_substitute(back, dx_i, dx_r, dx_cam, ni, pmax)
-        return inst - dx_i, cam - dx_cam, points - dx_p
 
     from jax import shard_map
 
@@ -2032,6 +2104,210 @@ def make_sharded_lm_block(
     return jax.jit(block)
 
 
+# Dense-grid block solver argument order (camera-side replicated, point-
+# side sharded over the point axis).
+_DENSE_BLOCK_NAMES = (
+    "inst", "rigcam", "cam", "points", "obs_uv", "obs_inv_sd",
+    "point_prior", "point_prior_inv_sd", "point_prior_loss", "opt_points",
+    "gps_pos", "gps_inv_sd", "cam_prior", "cam_prior_inv_sd",
+    "cam_log_mask", "rigcam_prior", "rigcam_prior_inv_sd",
+    "opt_inst", "opt_rigcam", "opt_cam",
+)
+_DENSE_SHARDED = frozenset((
+    "points", "obs_uv", "obs_inv_sd", "point_prior", "point_prior_inv_sd",
+    "point_prior_loss", "opt_points",
+))
+
+
+def _dense_block_args(dproblem, jdt):
+    """Device-array dict for `_DENSE_BLOCK_NAMES` from a dense-sharded
+    problem (floats cast to `jdt`, masks/bools kept)."""
+    a = {}
+    for name in _DENSE_BLOCK_NAMES:
+        arr = getattr(dproblem, name, None)
+        if name == "point_prior_loss" and arr is None:
+            arr = np.zeros(len(dproblem.points))
+        arr = np.asarray(arr)
+        if np.issubdtype(arr.dtype, np.floating):
+            a[name] = jnp.asarray(arr, dtype=jdt)
+        else:
+            a[name] = jnp.asarray(arr)
+    return a
+
+
+@lru_cache(maxsize=64)
+def make_sharded_lm_block_dense(
+    mesh: Mesh,
+    axis: str,
+    ni: int,
+    nr: int,
+    nc: int,
+    pmax: int,
+    block_size: int = 8,
+    tol: float = 1e-10,
+    loss: str = "SoftLOneLoss",
+    loss_threshold: float = 1.0,
+):
+    """Up to `block_size` LM damping trials over the dense [NP, NI]
+    instance-slot grid as ONE device program (the `make_sharded_lm_block`
+    policy verbatim), with the per-trial step and accept/reject cost both
+    running the fused Pallas fast paths on TPU.  This is the distributed
+    route for mono single-camera maps at moderate grid sizes — the fused
+    assembly processes the 32x-zero-padded 256-cam bench grid ~4x faster
+    than the sparse assembled-Schur step builds the same reduced system.
+
+    block(cost0, lam0, rejects0, budget, *_DENSE_BLOCK_NAMES args) ->
+        (inst, cam, points, stats[6]).
+    """
+
+    def local_block(cost0, lam0, rejects0, budget, *args):
+        a = dict(zip(_DENSE_BLOCK_NAMES, args))
+        dtype = a["points"].dtype
+        data = _dense_grid_data(a, ni, with_pp_loss=True)
+        rigcam = a["rigcam"]
+
+        def cost_of(inst, cam, points):
+            return _dense_grid_cost(
+                (inst, rigcam, cam, points), data, axis, pmax, loss,
+                loss_threshold,
+            )
+
+        def cond(carry):
+            _, cost, lam, rejects, accepted, k, converged = carry
+            return (
+                (k < block_size)
+                & (accepted < budget)
+                & (rejects < 16)
+                & jnp.logical_not(converged)
+            )
+
+        def body(carry):
+            state, cost, lam, rejects, accepted, k, converged = carry
+            inst, cam, points = state
+            out = _dense_grid_step(
+                (inst, rigcam, cam, points), data, lam, axis, ni, nr,
+                nc, pmax, loss, loss_threshold,
+            )
+            new_cost = cost_of(*out).astype(cost.dtype)
+            accept = jnp.isfinite(new_cost) & (new_cost < cost)
+            state = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(accept, n, o), tuple(out), state
+            )
+            rel = (cost - new_cost) / jnp.maximum(cost, 1e-30)
+            converged = accept & (rel < tol)
+            cost = jnp.where(accept, new_cost, cost)
+            lam = jnp.where(
+                accept,
+                jnp.maximum(lam / 3.0, 1e-12),
+                jnp.minimum(lam * 10.0, 1e8),
+            )
+            rejects = jnp.where(accept, 0, rejects + 1)
+            accepted = accepted + accept.astype(jnp.int32)
+            return (state, cost, lam, rejects, accepted, k + 1, converged)
+
+        init = (
+            (a["inst"], a["cam"], a["points"]),
+            cost0.astype(dtype), lam0.astype(dtype),
+            rejects0.astype(jnp.int32), jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32), jnp.zeros((), bool),
+        )
+        state, cost, lam, rejects, accepted, k, converged = (
+            jax.lax.while_loop(cond, body, init)
+        )
+        sdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        stats = jnp.stack([
+            cost.astype(sdt), lam.astype(sdt), rejects.astype(sdt),
+            accepted.astype(sdt), k.astype(sdt), converged.astype(sdt),
+        ])
+        return state + (stats,)
+
+    from jax import shard_map
+
+    in_specs = (P(), P(), P(), P()) + tuple(
+        P(axis) if n in _DENSE_SHARDED else P() for n in _DENSE_BLOCK_NAMES
+    )
+    out_specs = (P(), P(), P(axis), P())
+    return jax.jit(shard_map(
+        local_block, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    ))
+
+
+# Grid-size cap for the dense-grid distributed route: beyond ~32M slots
+# the zero-padded grid's HBM footprint and wasted MXU work overtake the
+# sparse assembled-Schur/CG paths.
+_DENSE_GRID_MAX_SLOTS = 32 << 20
+
+
+def _dense_grid_normalize(problem: BAProblem):
+    """Normalize a pipeline problem for the dense-grid route, or return
+    None when it cannot run there.
+
+    Pipeline problems arrive with (a) ptype in segment form
+    `(('perspective', 0, O),)` rather than the plain string and (b)
+    zero-weight PADDING observation rows all pointing at (point 0,
+    inst 0) — which would collide on one grid slot and clobber a real
+    observation in the densifying scatter.  Both are normalized away
+    host-side: segments collapse to the string when every segment is
+    perspective, and zero-weight rows (contributing exactly 0 to cost
+    and Jacobians) are stripped."""
+    pt = problem.ptype
+    if isinstance(pt, (tuple, list)):
+        if not all(seg[0] == "perspective" for seg in pt):
+            return None
+        pt = "perspective"
+    if pt != "perspective":
+        return None
+    if len(problem.cam) != 1:
+        return None
+    if bool(np.asarray(problem.opt_rigcam).any()):
+        return None
+    if float(np.abs(np.asarray(problem.rigcam)).max(initial=0.0)) > 1e-12:
+        return None
+    for name in ("up_inst", "ang_kind", "rm_i", "rr_i", "cp_i", "lin_i0",
+                 "hm_inst", "gauge_i", "scales"):
+        arr = getattr(problem, name, None)
+        if arr is not None and np.asarray(arr).shape[0] > 0:
+            return None
+    if problem.obs_depth_inv_sd is not None and bool(
+        np.any(np.asarray(problem.obs_depth_inv_sd) > 0)
+    ):
+        return None
+    dense_O = len(problem.points) * len(problem.inst)
+    if dense_O > _DENSE_GRID_MAX_SLOTS:
+        return None
+    inv_sd = np.asarray(problem.obs_inv_sd)
+    mask = inv_sd > 0
+    if not bool(mask.any()):
+        return None
+    import dataclasses
+
+    repl = {"ptype": pt}
+    if not bool(mask.all()):
+        for name in ("obs_uv", "obs_inv_sd", "obs_point", "obs_inst",
+                     "obs_rigcam", "obs_cam", "obs_depth",
+                     "obs_depth_inv_sd", "obs_depth_radial"):
+            arr = getattr(problem, name, None)
+            if arr is not None:
+                repl[name] = np.asarray(arr)[mask]
+    problem = dataclasses.replace(problem, **repl)
+    # Duplicate real (point, instance) pairs cannot land on one slot.
+    key = (
+        np.asarray(problem.obs_point, dtype=np.int64) * len(problem.inst)
+        + np.asarray(problem.obs_inst, dtype=np.int64)
+    )
+    if np.unique(key).size != len(problem.obs_uv):
+        return None
+    return problem
+
+
+def _dense_grid_eligible(problem: BAProblem) -> bool:
+    """Whether the dense-grid block solver can run this problem: mono
+    single-perspective-camera, identity rig chain, no up/ang/depth rows,
+    no pose-graph families, and a [NP, NI] grid within the slot cap."""
+    return _dense_grid_normalize(problem) is not None
+
+
 # ---------------------------------------------------------------------------
 # Pipeline entry: full LM damping loop around the sharded CG step.  This is
 # what `ba/problem.bundle` routes through when `bundle_distributed` says so
@@ -2200,6 +2476,102 @@ def _cg_args(problem: BAProblem, n_shards: int, dtype):
     return extras
 
 
+@lru_cache(maxsize=64)
+def make_sharded_cost_dense(mesh: Mesh, axis: str, ni: int, nc: int,
+                            pmax: int, loss: str = "SoftLOneLoss",
+                            loss_threshold: float = 1.0):
+    """Total objective over the dense-grid sharded layout (the initial
+    cost of `_bundle_adjust_sharded_dense`'s damping loop)."""
+    from jax import shard_map
+
+    def local_cost(*args):
+        a = dict(zip(_DENSE_BLOCK_NAMES, args))
+        data = _dense_grid_data(a, ni, with_pp_loss=True)
+        return _dense_grid_cost(
+            (a["inst"], a["rigcam"], a["cam"], a["points"]), data, axis,
+            pmax, loss, loss_threshold,
+        )
+
+    in_specs = tuple(
+        P(axis) if n in _DENSE_SHARDED else P() for n in _DENSE_BLOCK_NAMES
+    )
+    return jax.jit(shard_map(
+        local_cost, mesh=mesh, in_specs=in_specs, out_specs=P(),
+        check_vma=False,
+    ))
+
+
+def _bundle_adjust_sharded_dense(problem, mesh, axis, max_iterations,
+                                 initial_lambda, tol, dtype):
+    """The dense-grid damping loop: shard_problem_dense layout + the
+    `make_sharded_lm_block_dense` device block, host policy identical to
+    the sparse routes."""
+    import jax.numpy as jnp
+
+    from opensfm_tpu.context import record_dispatch
+
+    n_shards = int(np.prod(mesh.devices.shape))
+    npts_orig = len(problem.points)
+    norm = _dense_grid_normalize(problem)
+    if norm is None:  # pragma: no cover - guarded by the caller
+        raise ValueError("problem not normalizable for the dense grid")
+    dproblem, _ = shard_problem_dense(
+        norm, n_shards, max_waste=1 << 30,
+        max_slots=_DENSE_GRID_MAX_SLOTS,
+    )
+    ni = len(dproblem.inst)
+    nr = len(dproblem.rigcam)
+    nc = len(dproblem.cam)
+    pmax = dproblem.cam.shape[1]
+    loss = problem.loss
+    loss_threshold = float(problem.loss_threshold)
+    block_fn = make_sharded_lm_block_dense(
+        mesh, axis, ni, nr, nc, pmax, tol=tol, loss=loss,
+        loss_threshold=loss_threshold,
+    )
+    cost_fn = make_sharded_cost_dense(
+        mesh, axis, ni, nc, pmax, loss=loss,
+        loss_threshold=loss_threshold,
+    )
+
+    jdt = getattr(jnp, np.dtype(dtype).name)
+    a = _dense_block_args(dproblem, jdt)
+
+    lam = float(initial_lambda)
+    cost = float(cost_fn(*(a[k] for k in _DENSE_BLOCK_NAMES)))
+    initial_cost = cost
+    accepted = rejects = trials = 0
+    while accepted < max_iterations and trials < 16 * max_iterations:
+        record_dispatch("cg_trial")
+        out = block_fn(
+            jnp.asarray(cost, jdt), jnp.asarray(lam, jdt),
+            jnp.asarray(rejects, jnp.int32),
+            jnp.asarray(max_iterations - accepted, jnp.int32),
+            *(a[k] for k in _DENSE_BLOCK_NAMES),
+        )
+        stats = np.asarray(out[-1])
+        a["inst"], a["cam"], a["points"] = out[0], out[1], out[2]
+        cost = float(stats[0])
+        lam = float(stats[1])
+        rejects = int(stats[2])
+        accepted += int(stats[3])
+        trials += int(stats[4])
+        if bool(stats[5]) or rejects >= 16 or int(stats[4]) == 0:
+            break
+
+    return BAResult(
+        inst=np.asarray(a["inst"])[:ni],
+        rigcam=np.asarray(problem.rigcam),
+        cam=np.asarray(a["cam"]),
+        points=np.asarray(a["points"])[:npts_orig],
+        scales=problem.scales,
+        initial_cost=initial_cost,
+        final_cost=cost,
+        iterations=accepted,
+        lam=lam,
+    )
+
+
 def bundle_adjust_sharded(
     problem: BAProblem,
     max_iterations: int = 50,
@@ -2215,12 +2587,17 @@ def bundle_adjust_sharded(
     """LM to convergence with a sharded Schur step over `mesh` (all
     visible devices by default).
 
-    `solver`: "schur" = assembled-Schur step (exact reduced solve, one
-    [D, D] psum per trial — the fast path at moderate camera counts),
-    "cg" = matrix-free preconditioned CG on the Schur complement (the
-    path that scales past a few thousand cameras: per-iteration psum is
-    ~6 KB, nothing O(D^2) is ever materialized), "auto" = assembled when
-    `_schur_eligible` says the assembly cost is small, CG otherwise.
+    `solver`: "dense" = dense-grid block solver (mono single-camera maps
+    on the zero-padded [NP, NI] instance-slot grid; per-shard assembly
+    and accept/reject cost run the fused Pallas kernels — the fastest
+    route whenever it applies), "schur" = assembled-Schur step (exact
+    reduced solve, one [D, D] psum per trial — the sparse-layout fast
+    path at moderate camera counts), "cg" = matrix-free preconditioned
+    CG on the Schur complement (the path that scales past a few thousand
+    cameras: per-iteration psum is ~6 KB, nothing O(D^2) is ever
+    materialized), "auto" = dense-grid when `_dense_grid_eligible`,
+    else assembled when `_schur_eligible` says the assembly cost is
+    small, CG otherwise.
 
     Host-side damping loop mirroring lm._lm_solve's policy (accept when
     cost drops, lam/3 on accept, lam*10 on reject, stop at 16 consecutive
@@ -2252,6 +2629,25 @@ def bundle_adjust_sharded(
         mesh = Mesh(np.array(jax.devices()), (axis,))
     n_shards = int(np.prod(mesh.devices.shape))
     npts_orig = len(problem.points)
+
+    # Dense-grid route (round 5): mono single-camera maps at moderate
+    # grid sizes run the fused Pallas assembly/cost per shard — ~4x the
+    # sparse assembled-Schur step's rate at the 256-cam bench lane even
+    # with the zero-padded slots.
+    if solver == "auto" and _dense_grid_eligible(problem):
+        solver = "dense"
+    if solver == "dense":
+        if not _dense_grid_eligible(problem):
+            raise ValueError(
+                "problem not eligible for the dense-grid sharded solver "
+                "(needs mono perspective, identity rig, no up/ang/depth/"
+                "pose-graph rows, grid within the slot cap)"
+            )
+        return _bundle_adjust_sharded_dense(
+            problem, mesh, axis, max_iterations, initial_lambda, tol,
+            dtype,
+        )
+
     sharded = shard_problem(problem, n_shards)
     types = sharded.cg_ptypes
     ptype = types if len(types) > 1 else types[0]

@@ -65,11 +65,14 @@ def test_bundle_adjust_sharded_rejects_incompatible():
         bundle_adjust_sharded(empty, max_iterations=2)
 
 
-def test_incremental_reconstruction_distributed():
+@pytest.mark.parametrize("solver", ["cg", "auto"])
+def test_incremental_reconstruction_distributed(solver):
     """Full incremental SfM with EVERY global bundle routed through the
-    sharded CG path on the 8-device mesh; strict reference bounds hold
+    sharded path on the 8-device mesh; strict reference bounds hold
     (aligned_position_rmse < 0.03 m, aligned_rotation_rmse < 0.003 rad,
-    reference test_reconstruction_incremental.py:37-38)."""
+    reference test_reconstruction_incremental.py:37-38).  solver="cg"
+    pins the matrix-free CG route e2e; "auto" routes this mono map
+    through the round-5 dense-grid block solver."""
     import opensfm_tpu.parallel.distributed_ba as dba
     from opensfm_tpu import geo, reconstruction
     from opensfm_tpu.synthetic_data import (
@@ -93,6 +96,17 @@ def test_incremental_reconstruction_distributed():
     dataset.config["bundle_max_iterations"] = 20
     dataset.config["bundle_distributed"] = "yes"
     dataset.config["bundle_distributed_min_shots"] = 1
+    dataset.config["bundle_distributed_solver"] = solver
+    if solver == "auto":
+        # The mono circle scene must pick the dense-grid route.
+        orig_dense = dba._bundle_adjust_sharded_dense
+        dense_calls = {"n": 0}
+
+        def counting_dense(*args, **kwargs):
+            dense_calls["n"] += 1
+            return orig_dense(*args, **kwargs)
+
+        dba._bundle_adjust_sharded_dense = counting_dense
 
     calls = {"sharded": 0}
     orig = dba.bundle_adjust_sharded
@@ -108,8 +122,13 @@ def test_incremental_reconstruction_distributed():
         )
     finally:
         dba.bundle_adjust_sharded = orig
+        if solver == "auto":
+            dba._bundle_adjust_sharded_dense = orig_dense
 
     assert calls["sharded"] >= 1, "no global bundle took the distributed path"
+    if solver == "auto":
+        assert dense_calls["n"] >= 1, \
+            "auto did not route the mono map through the dense-grid solver"
     errors = synthetic_scene.compare(scene.reconstruction, scene.gcps, recs[0])
     assert errors["ratio_cameras"] == 1.0
     assert 0 < errors["aligned_position_rmse"] < 0.03
@@ -409,6 +428,60 @@ def test_schur_eligibility_gate():
     big.inst = np.zeros((4096, 6))
     big.opt_inst = np.ones(4096, bool)
     assert not _schur_eligible(big, 1)
+
+
+def test_dense_grid_sharded_matches_single_device():
+    """The dense-grid block solver (round 5: fused Pallas assembly/cost
+    per shard over the zero-padded [NP, NI] grid) reproduces the
+    single-device LM's trajectory to machine precision at f64 on the
+    8-device mesh, for a SPARSE mono problem (track_window=8, so
+    densification pads ~1/3 of the slots with zero weights)."""
+    from opensfm_tpu.ba.lm import bundle_adjust
+    from opensfm_tpu.parallel import bundle_adjust_sharded
+
+    def make():
+        return _make_problem(n_shots=12, n_points=256, seed=3,
+                             track_window=8)
+
+    rd = bundle_adjust(make(), max_iterations=12)
+    rs = bundle_adjust_sharded(
+        make(), max_iterations=12, solver="dense", dtype=np.float64,
+    )
+    rel = abs(rs.final_cost - rd.final_cost) / rd.final_cost
+    assert rel < 1e-9, (rs.final_cost, rd.final_cost)
+    assert rs.iterations == rd.iterations
+    assert np.abs(rs.inst - rd.inst).max() < 1e-8
+    assert np.abs(rs.cam - rd.cam).max() < 1e-8
+    assert np.abs(rs.points - rd.points).max() < 1e-8
+
+
+def test_dense_grid_routing():
+    """`auto` routes mono single-camera problems to the dense-grid
+    solver, keeps rig/up/depth/pose-graph/multi-camera problems on the
+    sparse routes, and caps the grid size; explicit solver="dense" on an
+    ineligible problem raises."""
+    import pytest as _pytest
+
+    from opensfm_tpu.parallel.distributed_ba import _dense_grid_eligible
+    from opensfm_tpu.parallel import bundle_adjust_sharded
+
+    assert _dense_grid_eligible(
+        _make_problem(n_shots=12, n_points=256, track_window=8)
+    )
+    rig = _make_problem(n_shots=12, n_points=256)
+    rig.rigcam = np.array([[0.0, 0.02, 0.0, 0.1, 0.0, 0.05]])
+    assert not _dense_grid_eligible(rig)
+    up = _make_problem(n_shots=12, n_points=256)
+    up.up_inst = np.arange(12, dtype=np.int64)
+    up.up_rigcam = np.zeros(12, dtype=np.int64)
+    up.up_vec = np.tile([0.0, 0.0, 1.0], (12, 1))
+    up.up_inv_sd = np.full(12, 10.0)
+    assert not _dense_grid_eligible(up)
+    big = _make_problem(n_shots=12, n_points=256)
+    big.inst = np.zeros((200_000, 6))  # grid would be 51M slots
+    assert not _dense_grid_eligible(big)
+    with _pytest.raises(ValueError):
+        bundle_adjust_sharded(rig, solver="dense")
 
 
 def test_incremental_reconstruction_distributed_schur():
