@@ -847,7 +847,7 @@ def main() -> None:
     # the TPU process keeps its platform): partition overhead, 2-process
     # jax.distributed strong scaling (dense compute-bound lane + CG lane),
     # psum payloads -> predicted ICI comm fraction.
-    if not skip("cpu_mesh_scaling", 240):
+    if not skip("cpu_mesh_scaling", 330):
         try:
             extra["cpu_mesh_scaling"] = _subprocess_lane(
                 "bench_scaling.py", ["8"], max(120, remaining() - 30)

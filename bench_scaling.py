@@ -79,10 +79,14 @@ CG_ITERS = 30
 # scatters saturate this 2-core host's DRAM single-handed, so its
 # 2-process "strong scaling" measures the memory bus, not the design).
 # The DENSE instance-slot step is matmul-shaped: its S_II contraction is
-# [6*NI, 3*NP] @ [3*NP, 6*NI] — 7.2 GFLOP over ~75 MB at 64 shots/8192
-# points, ~96 flops/byte, well past the core's compute:bandwidth ratio.
+# [6*NI, 3*NP] @ [3*NP, 6*NI], ~96 flops/byte — well past the core's
+# compute:bandwidth ratio.  32k points (~29 GFLOP/step) sizes the step
+# so the pair lane's fixed per-step costs (the ~MB block psum over
+# localhost + process sync, ~0.2 s measured at 8k points) stay <10% of
+# the ~4 s/step compute — the r5 8k-point lane measured that fixed cost,
+# not the scaling.
 DENSE_SHOTS = 64
-DENSE_POINTS = 8192
+DENSE_POINTS = 32768
 
 # ICI model constants for the predicted multi-chip communication fraction:
 # one bidirectional v5e ICI link sustains ~45 GB/susable each way; a ring
@@ -166,7 +170,7 @@ def _dense_step_and_args(mesh, n_shards: int):
     return step, raw
 
 
-def _measure_dense(n_devices: int, reps: int = 5) -> float:
+def _measure_dense(n_devices: int, reps: int = 3) -> float:
     devices = np.array(jax.devices()[:n_devices])
     mesh = Mesh(devices, ("points",))
     step, raw = _dense_step_and_args(mesh, n_devices)
@@ -282,7 +286,7 @@ def _dense_dist_pair(pid: int) -> None:
     args.append(globalize(np.float32(1e-4), jnp.float32, False))
     out = step(*args)
     jax.block_until_ready(out)
-    reps = 5
+    reps = 3
     t0 = time.time()
     for _ in range(reps):
         out = step(*args)
