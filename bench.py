@@ -831,7 +831,9 @@ def main() -> None:
 
             extra["e2e_berlin_tpu"] = bench_e2e_device(
                 "berlin", "compute_depthmaps",
-                budget_s=max(60, remaining() - 240),
+                # Reserve the cpu_mesh_scaling lane's budget (330 s + 30
+                # margin) behind this un-preemptible stage sequence.
+                budget_s=max(60, remaining() - 360),
                 on_stage=on_stage,
             )
         except Exception as e:  # pragma: no cover

@@ -452,6 +452,10 @@ def shard_problem_dense(problem: BAProblem, n_shards: int,
             points=pad_pts(problem.points),
             point_prior=pad_pts(problem.point_prior),
             point_prior_inv_sd=pad_pts(problem.point_prior_inv_sd),
+            point_prior_loss=(
+                pad_pts(problem.point_prior_loss)
+                if problem.point_prior_loss is not None else None
+            ),
             opt_points=pad_pts(problem.opt_points, False),
             obs_uv=pad_obs(problem.obs_uv),
             obs_inv_sd=pad_obs(problem.obs_inv_sd),

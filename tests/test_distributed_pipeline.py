@@ -455,6 +455,27 @@ def test_dense_grid_sharded_matches_single_device():
     assert np.abs(rs.points - rd.points).max() < 1e-8
 
 
+def test_dense_grid_point_padding_with_prior_loss():
+    """Non-power-of-two shard splits pad the point block; the per-point
+    Cauchy prior-loss array must pad with it (round-5 fix: it was the
+    only per-point array missing from shard_problem_dense's pad list)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from opensfm_tpu.parallel import bundle_adjust_sharded
+
+    p = _make_problem(n_shots=12, n_points=500, seed=3, track_window=8)
+    p.point_prior = np.asarray(p.points).copy()
+    p.point_prior_inv_sd = np.full((500, 3), 0.5)
+    p.point_prior_loss = np.full(500, 2.0)
+    mesh = Mesh(np.array(jax.devices()[:3]), ("points",))
+    r = bundle_adjust_sharded(
+        p, max_iterations=6, solver="dense", dtype=np.float64, mesh=mesh,
+    )
+    assert r.final_cost <= r.initial_cost
+    assert r.points.shape == (500, 3)
+
+
 def test_dense_grid_routing():
     """`auto` routes mono single-camera problems to the dense-grid
     solver, keeps rig/up/depth/pose-graph/multi-camera problems on the
