@@ -594,9 +594,10 @@ def bench_e2e_device(dataset_name="berlin", last_stage="compute_depthmaps",
         if on_stage is not None:
             on_stage(times)
     times["total"] = round(total, 2)
-    recs = data.load_reconstruction()
-    times["shots"] = len(recs[0].shots) if recs else 0
-    times["points"] = len(recs[0].points) if recs else 0
+    if isinstance(times.get("reconstruct"), float):
+        recs = data.load_reconstruction()
+        times["shots"] = len(recs[0].shots) if recs else 0
+        times["points"] = len(recs[0].points) if recs else 0
     return times
 
 
