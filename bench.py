@@ -301,6 +301,31 @@ def _cg_variant_problem(variant, n_shots, n_points, track_len):
         problem.obs_depth = np.full(O, 10.0)
         problem.obs_depth_inv_sd = np.full(O, 1.0)
         problem.obs_depth_radial = np.zeros(O, bool)
+    elif variant == "graph":
+        # Pose-graph rows (round 5, schur-only): relative motion between
+        # consecutive instances with a shared optimized cluster scale —
+        # the reconstruct_from_prior / cluster-merge workload shape.
+        from opensfm_tpu.geometry import rotation as grot
+
+        i = np.arange(0, ni - 1, dtype=np.int32)
+        j = i + 1
+        K = len(i)
+        problem.scales = np.ones(2)
+        problem.opt_scales = np.array([False, True])
+        Ri = [grot.rotvec_to_matrix(problem.inst[a, :3]) for a in i]
+        Rj = [grot.rotvec_to_matrix(problem.inst[b, :3]) for b in j]
+        problem.rm_i, problem.rm_j = i, j
+        problem.rm_si = np.zeros(K, np.int32)
+        problem.rm_sj = np.ones(K, np.int32)
+        problem.rm_rvec = np.stack(
+            [grot.matrix_to_rotvec(np.asarray(Rj[k] @ Ri[k].T).T)
+             for k in range(K)]
+        )
+        problem.rm_tvec = np.zeros((K, 3))
+        problem.rm_scale = np.ones(K)
+        problem.rm_inv_sd = np.full((K, 7), 5.0)
+        problem.rm_obs_scale = np.zeros(K, bool)
+        problem.rm_loss_c = np.ones(K)
     return problem
 
 
@@ -319,6 +344,7 @@ def bench_cg(jax, jnp, n_shots=256, n_points=32768, track_len=8,
         _cg_args,
         _cg_modes,
         _cg_step_names,
+        _graph_fields,
         make_sharded_lm_block,
     )
 
@@ -326,6 +352,8 @@ def bench_cg(jax, jnp, n_shots=256, n_points=32768, track_len=8,
     mesh = Mesh(np.array(jax.devices()[:1]), ("points",))
     sharded = shard_problem(problem, 1)
     rig_mode, with_depth, has_up, has_ang = _cg_modes(sharded)
+    graph = _graph_fields(sharded)
+    ns = len(sharded.scales) if graph and sharded.scales is not None else 0
     ni, nr, nc, npts, O, T = sharded.counts()
     pmax = sharded.cam.shape[1]
     win = int(getattr(sharded, "cg_window", 0) or 0)
@@ -334,12 +362,13 @@ def bench_cg(jax, jnp, n_shots=256, n_points=32768, track_len=8,
         mesh, "points", "perspective", pmax, ni, nc, solver=solver,
         block_size=block_size, tol=0.0, cg_iters=cg_iters, cg_tol=0.0,
         nr=nr, rig_mode=rig_mode, with_depth=with_depth, has_up=has_up,
-        has_ang=has_ang, win=win,
+        has_ang=has_ang, win=win, graph=graph, ns=ns,
     )
     a = _cg_args(sharded, 1, jnp.float32)
     a["lam"] = jnp.asarray(1e-4, jnp.float32)
     step_names = _cg_step_names(rig_mode, with_depth, has_up, has_ang,
-                                win=win > 0)
+                                win=win > 0, graph=graph,
+                                has_scales=ns > 0)
 
     def one_block():
         # ONE device program = block_size full damping trials (step +
@@ -778,6 +807,18 @@ def main() -> None:
             emit()
         except Exception as e:  # pragma: no cover
             print(f"dense-grid bench failed: {e}", file=sys.stderr)
+    else:
+        emit()
+    # Pose-graph rows ride the assembled-Schur solver only (round 5) —
+    # their own chip lane (relative motion + optimized cluster scale).
+    if not skip("ba_schur_graph", 50):
+        try:
+            g_rate, _ = bench_cg(jax, jnp, trials=6, variant="graph",
+                                 solver="schur")
+            extra["ba_schur_trials_per_s_graph"] = round(g_rate, 2)
+            emit()
+        except Exception as e:  # pragma: no cover
+            print(f"schur graph bench failed: {e}", file=sys.stderr)
     else:
         emit()
     for variant in ("plain", "rig", "up", "depth"):
