@@ -410,7 +410,7 @@ def bench_schur_sharded(jax, jnp, n_shots=256, n_points=32768,
 
 
 def bench_dense_grid_sharded(jax, jnp, n_shots=256, n_points=32768,
-                             track_len=8, trials=24):
+                             track_len=8, trials=64):
     """Dense-grid sharded LM trials (round 5): the SAME sparse 256-cam /
     262k-obs problem as the CG/schur lanes, densified onto the
     zero-padded [NP, NI] grid (32x slots) and run through
@@ -439,7 +439,7 @@ def bench_dense_grid_sharded(jax, jnp, n_shots=256, n_points=32768,
     ni, nr, nc = (len(dproblem.inst), len(dproblem.rigcam),
                   len(dproblem.cam))
     pmax = dproblem.cam.shape[1]
-    block_size = 8
+    block_size = 32
     block_fn = make_sharded_lm_block_dense(
         mesh, "points", ni, nr, nc, pmax, block_size=block_size, tol=0.0,
     )

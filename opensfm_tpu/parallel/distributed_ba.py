@@ -2147,7 +2147,7 @@ def make_sharded_lm_block_dense(
     nr: int,
     nc: int,
     pmax: int,
-    block_size: int = 8,
+    block_size: int = 32,
     tol: float = 1e-10,
     loss: str = "SoftLOneLoss",
     loss_threshold: float = 1.0,
