@@ -665,11 +665,11 @@ def main() -> None:
     #   1. the CUMULATIVE result JSON is re-printed after EVERY completed
     #      lane (and every completed e2e stage), so a kill at any point
     #      leaves the latest partial result as the last parsable line;
-    #   2. the default budget targets a ~13-minute full run; heavy lanes
+    #   2. the default budget targets a ~15-minute full run; heavy lanes
     #      check the remaining budget before starting and are recorded as
     #      skipped rather than silently dying.
     t_bench0 = time.time()
-    budget_total = float(os.environ.get("BENCH_BUDGET_S", "780"))
+    budget_total = float(os.environ.get("BENCH_BUDGET_S", "900"))
     ceres_cpu_estimate = 1.0  # LM iter/s, Ceres SPARSE_SCHUR, workstation CPU
     result = {
         "metric": "ba_iterations_per_s",
@@ -861,11 +861,26 @@ def main() -> None:
             print(f"matching bench failed: {e}", file=sys.stderr)
         emit()
 
-    # ---- Lane 5: full pipeline ON the TPU backend, per-stage preemptible
+    # ---- Lane 5: multi-device scaling lanes on the CPU mesh (subprocess;
+    # the TPU process keeps its platform): partition overhead, 2-process
+    # jax.distributed strong scaling (dense compute-bound lane + CG lane),
+    # psum payloads -> predicted ICI comm fraction.  Runs BEFORE the e2e
+    # lane: the scaling artifact is a north-star deliverable, while the
+    # e2e lane degrades gracefully stage by stage on whatever remains.
+    if not skip("cpu_mesh_scaling", 330):
+        try:
+            extra["cpu_mesh_scaling"] = _subprocess_lane(
+                "bench_scaling.py", ["8"], max(120, remaining() - 30)
+            )
+        except Exception as e:  # pragma: no cover
+            print(f"scaling bench failed: {e}", file=sys.stderr)
+            extra["cpu_mesh_scaling"] = f"failed: {type(e).__name__}"
+        emit()
+
+    # ---- Lane 6: full pipeline ON the TPU backend, per-stage preemptible
     # (every completed stage re-emits the cumulative record).  Flips x64
-    # on in-process, so it must come after all other device lanes; the
-    # remaining lanes are CPU subprocesses.
-    if not skip("e2e_berlin_tpu", 120):
+    # on in-process, so it must come after all other device lanes.
+    if not skip("e2e_berlin_tpu", 60):
         try:
             def on_stage(times):
                 extra["e2e_berlin_tpu"] = dict(times)
@@ -873,9 +888,7 @@ def main() -> None:
 
             extra["e2e_berlin_tpu"] = bench_e2e_device(
                 "berlin", "compute_depthmaps",
-                # Reserve the cpu_mesh_scaling lane's budget (330 s + 30
-                # margin) behind this un-preemptible stage sequence.
-                budget_s=max(60, remaining() - 360),
+                budget_s=max(60, remaining() - 30),
                 on_stage=on_stage,
             )
         except Exception as e:  # pragma: no cover
@@ -886,20 +899,6 @@ def main() -> None:
     # driver's bench window.  The berlin TPU lane above carries the
     # full-pipeline-on-TPU + dispatch-count evidence; lund runs in the
     # CPU test suite.)
-
-    # ---- Lane 6: multi-device scaling lanes on the CPU mesh (subprocess;
-    # the TPU process keeps its platform): partition overhead, 2-process
-    # jax.distributed strong scaling (dense compute-bound lane + CG lane),
-    # psum payloads -> predicted ICI comm fraction.
-    if not skip("cpu_mesh_scaling", 330):
-        try:
-            extra["cpu_mesh_scaling"] = _subprocess_lane(
-                "bench_scaling.py", ["8"], max(120, remaining() - 30)
-            )
-        except Exception as e:  # pragma: no cover
-            print(f"scaling bench failed: {e}", file=sys.stderr)
-            extra["cpu_mesh_scaling"] = f"failed: {type(e).__name__}"
-        emit()
 
     # ---- Optional heavy lanes, only with budget left (a larger
     # BENCH_BUDGET_S runs them; the default prioritizes the lanes above).
