@@ -2290,3 +2290,24 @@ _add("yakumo", {
     "mega image iv": 7.18, "mega image vi": 7.18, "mega image vii": 6.4,
     "mega image x": 7.18, "mega image xs": 6.4,
 })
+
+
+# Wave 5b: lines the wave-5 rules missed (the fallback class guessed a
+# premium 1/1.8" for Rollei's budget Prego/RCP bodies and the audit
+# rightly dropped it — they shipped 1/2.5"-class sensors; Concord's
+# two-digit model names misread the leading-megapixel heuristic).
+_add("rollei", {
+    "prego da4": _1_25, "prego da5": _1_25, "prego dp4200": _1_25,
+    "prego dp5200": _1_25, "prego dp5500": _1_25, "rcp-5324": _1_25,
+    "rcp-6324": _1_25, "rcp-7324": _1_25, "rcp-7325xs": _1_25,
+    "rcp-7330x": _1_25, "rcp-7430xw": _1_25, "rcp-8325": _1_25,
+    "rcp-8325xs": _1_25, "rcp-8330x": _1_25, "rcp-8427xw": _1_25,
+    "rcp-8527x": _1_25, "rcp-s8": _1_25, "rcp-s10": _1_25,
+    "prego da3": 5.37,
+})
+_add("concord", {
+    "43": _1_2, "45": _1_2, "46": _1_2, "47": _1_2,
+})
+_add("ricoh", {
+    "caplio rr230": 4.54,
+})
