@@ -1258,6 +1258,30 @@ _add("sony", {
     "dsc-st80": _1_25,
 })
 
+# Wave 6: the last one-off EXIF keys, each derived from the product's
+# documented imager (pitch x active columns, or the sensor-format class).
+# Keys mirror the odd EXIF strings verbatim where the make field is
+# nonstandard (exact-string is the first lookup candidate).
+_BUILTIN.update({
+    # Zenmuse XT2 carries a FLIR Tau 2 thermal core: 640 px x 17 um.
+    "dji xt2": 10.88,
+    # Kodak DCS 330: 3 MP CCD, 2008 px x 9 um pitch.
+    "kodak dcs330": 18.1,
+    # Kodak DCS 420: KAF-1600, 1524 px x 9 um (14.0 x 9.3 mm chip).
+    "kodak dcs420": 13.8,
+    # Coolpix S01/S31: 10.1 MP 1/2.9" class (4.96 x 3.72 mm).
+    "nikon coolpix s01": 4.96, "nikon coolpix s31": 4.96,
+    # Olympus X-450 = D-535Z = C-370Z: 3.2 MP 1/2.7" CCD line; EXIF
+    # writes the combined model string under OLYMPUS_IMAGING_CORP.
+    "olympus_imaging_corp.   x450,d535z,c370z": _1_27,
+    "olympus x450": _1_27, "olympus d535z": _1_27, "olympus c370z": _1_27,
+    # DSC-F88: 5.1 MP 1/2.4" CCD (5.9 x 4.4 mm).
+    "sony cybershot dsc f88": 5.9, "sony dsc-f88": 5.9,
+    # OnePlus One (EXIF truncates make/model to "oneplu A000"):
+    # Sony IMX214, 1/3.06" — 4.69 x 3.52 mm active.
+    "oneplu a000": 4.69, "oneplus a0001": 4.69,
+})
+
 _extra: Dict[str, float] = {}
 _loaded_paths = set()
 
