@@ -496,15 +496,17 @@ def _dense_grid_data(a, ni, with_pp_loss=False):
         point_prior_inv_sd=a["point_prior_inv_sd"],
         opt_inst=a["opt_inst"], opt_rigcam=a["opt_rigcam"],
         opt_cam=a["opt_cam"], opt_points=a["opt_points"],
-        up_inst=jnp.zeros(0, jnp.int32),
-        up_rigcam=jnp.zeros(0, jnp.int32),
-        up_vec=jnp.zeros((0, 3), points.dtype),
-        up_inv_sd=jnp.zeros(0, points.dtype),
-        ang_kind=jnp.zeros(0, jnp.int32),
-        ang_inst=jnp.zeros(0, jnp.int32),
-        ang_rigcam=jnp.zeros(0, jnp.int32),
-        ang_value=jnp.zeros(0, points.dtype),
-        ang_inv_sd=jnp.zeros(0, points.dtype),
+        # Shot-prior rows ride through replicated when the caller supplies
+        # them (block-dense product route); empty otherwise.
+        up_inst=a.get("up_inst", jnp.zeros(0, jnp.int32)),
+        up_rigcam=a.get("up_rigcam", jnp.zeros(0, jnp.int32)),
+        up_vec=a.get("up_vec", jnp.zeros((0, 3), points.dtype)),
+        up_inv_sd=a.get("up_inv_sd", jnp.zeros(0, points.dtype)),
+        ang_kind=a.get("ang_kind", jnp.zeros(0, jnp.int32)),
+        ang_inst=a.get("ang_inst", jnp.zeros(0, jnp.int32)),
+        ang_rigcam=a.get("ang_rigcam", jnp.zeros(0, jnp.int32)),
+        ang_value=a.get("ang_value", jnp.zeros(0, points.dtype)),
+        ang_inv_sd=a.get("ang_inv_sd", jnp.zeros(0, points.dtype)),
         obs_depth=jnp.zeros(num_obs, points.dtype),
         obs_depth_inv_sd=jnp.zeros(num_obs, points.dtype),
         obs_depth_radial=jnp.zeros(num_obs, bool),
@@ -558,6 +560,10 @@ def _dense_grid_cost(state, data, axis, pmax, loss, loss_threshold):
         gps_inv_sd=jnp.zeros_like(data["gps_inv_sd"]),
         cam_prior_inv_sd=jnp.zeros_like(data["cam_prior_inv_sd"]),
         rigcam_prior_inv_sd=jnp.zeros_like(data["rigcam_prior_inv_sd"]),
+        # Shot-prior rows are replicated: zero inv_sd makes their local
+        # (psum-ed) contribution exactly 0; added once below.
+        up_inv_sd=jnp.zeros_like(data["up_inv_sd"]),
+        ang_inv_sd=jnp.zeros_like(data["ang_inv_sd"]),
     )
     local = _lm._total_cost(
         state, zeroed, "perspective", loss, loss_threshold, pmax,
@@ -573,11 +579,18 @@ def _dense_grid_cost(state, data, axis, pmax, loss, loss_threshold):
         data["cam_log_mask"],
     )
     rc_r = (rigcam - data["rigcam_prior"]) * data["rigcam_prior_inv_sd"]
-    return total + 0.5 * (
+    total = total + 0.5 * (
         jnp.sum((gr * gr).astype(acc))
         + jnp.sum((cp_r * cp_r).astype(acc))
         + jnp.sum((rc_r * rc_r).astype(acc))
     )
+    # Replicated shot-prior rows (up-vector / pan-tilt-roll, Cauchy(1) —
+    # lm._total_cost semantics), added exactly once.
+    rho_c = _lm.LOSSES["CauchyLoss"][0]
+    for pr in _lm._shot_prior_residuals(state, data, raw=True):
+        s = jnp.sum((pr * pr).astype(acc), axis=-1)
+        total = total + jnp.sum(0.5 * rho_c(s))
+    return total
 
 
 def make_sharded_lm_step_dense(
@@ -2116,7 +2129,17 @@ _DENSE_BLOCK_NAMES = (
     "gps_pos", "gps_inv_sd", "cam_prior", "cam_prior_inv_sd",
     "cam_log_mask", "rigcam_prior", "rigcam_prior_inv_sd",
     "opt_inst", "opt_rigcam", "opt_cam",
+    # Shot-prior rows (up-vector / pan-tilt-roll), replicated: they enter
+    # the reduced system through the post-psum `_assemble_S` epilogue and
+    # the replicated tail of `_dense_grid_cost`, so the sharded grid
+    # counts them exactly once (round 5: orientation-prior pipelines no
+    # longer fall off the dense-grid route).
+    "up_inst", "up_rigcam", "up_vec", "up_inv_sd",
+    "ang_kind", "ang_inst", "ang_rigcam", "ang_value", "ang_inv_sd",
 )
+_DENSE_INT_EMPTY = frozenset((
+    "up_inst", "up_rigcam", "ang_kind", "ang_inst", "ang_rigcam",
+))
 _DENSE_SHARDED = frozenset((
     "points", "obs_uv", "obs_inv_sd", "point_prior", "point_prior_inv_sd",
     "point_prior_loss", "opt_points",
@@ -2131,6 +2154,13 @@ def _dense_block_args(dproblem, jdt):
         arr = getattr(dproblem, name, None)
         if name == "point_prior_loss" and arr is None:
             arr = np.zeros(len(dproblem.points))
+        if arr is None:
+            if name in _DENSE_INT_EMPTY:
+                arr = np.zeros(0, dtype=np.int32)
+            elif name == "up_vec":
+                arr = np.zeros((0, 3))
+            else:  # up_inv_sd / ang_value / ang_inv_sd
+                arr = np.zeros(0)
         arr = np.asarray(arr)
         if np.issubdtype(arr.dtype, np.floating):
             a[name] = jnp.asarray(arr, dtype=jdt)
@@ -2268,7 +2298,10 @@ def _dense_grid_normalize(problem: BAProblem):
         return None
     if float(np.abs(np.asarray(problem.rigcam)).max(initial=0.0)) > 1e-12:
         return None
-    for name in ("up_inst", "ang_kind", "rm_i", "rr_i", "cp_i", "lin_i0",
+    # Up-vector / pan-tilt-roll rows are in-path (round 5): they ride the
+    # replicated _assemble_S epilogue + cost tail.  Pose-graph families
+    # still route to the assembled-Schur solver.
+    for name in ("rm_i", "rr_i", "cp_i", "lin_i0",
                  "hm_inst", "gauge_i", "scales"):
         arr = getattr(problem, name, None)
         if arr is not None and np.asarray(arr).shape[0] > 0:
@@ -2307,8 +2340,9 @@ def _dense_grid_normalize(problem: BAProblem):
 
 def _dense_grid_eligible(problem: BAProblem) -> bool:
     """Whether the dense-grid block solver can run this problem: mono
-    single-perspective-camera, identity rig chain, no up/ang/depth rows,
-    no pose-graph families, and a [NP, NI] grid within the slot cap."""
+    single-perspective-camera, identity rig chain, no depth rows, no
+    pose-graph families, and a [NP, NI] grid within the slot cap
+    (up-vector / pan-tilt-roll rows are in-path since round 5)."""
     return _dense_grid_normalize(problem) is not None
 
 
@@ -2644,7 +2678,7 @@ def bundle_adjust_sharded(
         if not _dense_grid_eligible(problem):
             raise ValueError(
                 "problem not eligible for the dense-grid sharded solver "
-                "(needs mono perspective, identity rig, no up/ang/depth/"
+                "(needs mono perspective, identity rig, no depth/"
                 "pose-graph rows, grid within the slot cap)"
             )
         return _bundle_adjust_sharded_dense(

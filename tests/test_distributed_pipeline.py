@@ -335,8 +335,11 @@ def test_incremental_reconstruction_distributed_rig():
 
 def test_incremental_reconstruction_distributed_orientation_prior():
     """Mono circle scene forced through orientation_prior alignment (up-
-    vector rows in every full bundle), all bundles on the CG path, strict
-    position/rotation bounds."""
+    vector rows in every full bundle), all bundles on the sharded path,
+    strict position/rotation bounds.  Since round 5 the up rows are
+    in-path for the dense-grid block solver, so the mono map must route
+    there (previously orientation-prior maps fell to the sparse routes)."""
+    import opensfm_tpu.parallel.distributed_ba as dba
     from opensfm_tpu import geo
     from opensfm_tpu.synthetic_data import synthetic_examples, synthetic_scene
 
@@ -350,9 +353,22 @@ def test_incremental_reconstruction_distributed_orientation_prior():
             (0.01, 0.1), False, 0, None,
         )
 
-    scene, recs = _run_distributed_e2e(
-        make_scene, {"align_method": "orientation_prior"}, gcps={}
-    )
+    orig_dense = dba._bundle_adjust_sharded_dense
+    dense_calls = {"n": 0}
+
+    def counting_dense(*args, **kwargs):
+        dense_calls["n"] += 1
+        return orig_dense(*args, **kwargs)
+
+    dba._bundle_adjust_sharded_dense = counting_dense
+    try:
+        scene, recs = _run_distributed_e2e(
+            make_scene, {"align_method": "orientation_prior"}, gcps={}
+        )
+    finally:
+        dba._bundle_adjust_sharded_dense = orig_dense
+    assert dense_calls["n"] >= 1, \
+        "orientation-prior mono map did not take the dense-grid route"
     from opensfm_tpu.synthetic_data import synthetic_scene as ss
 
     errors = ss.compare(scene.reconstruction, {}, recs[0])
@@ -455,6 +471,35 @@ def test_dense_grid_sharded_matches_single_device():
     assert np.abs(rs.points - rd.points).max() < 1e-8
 
 
+def test_dense_grid_up_rows_match_single_device():
+    """Up-vector (orientation-prior) rows through the dense-grid block
+    solver: replicated Cauchy(1) rows must enter the reduced system and
+    the accept/reject cost exactly once across the mesh, reproducing the
+    single-device trajectory at f64 (round 5: orientation-prior
+    pipelines previously fell off the dense-grid route)."""
+    from opensfm_tpu.ba.lm import bundle_adjust
+    from opensfm_tpu.parallel import bundle_adjust_sharded
+
+    def make():
+        p = _make_problem(n_shots=12, n_points=256, seed=3,
+                          track_window=8)
+        p.up_inst = np.arange(12, dtype=np.int64)
+        p.up_rigcam = np.zeros(12, dtype=np.int64)
+        p.up_vec = np.tile([0.0, -1.0, 0.0], (12, 1))
+        p.up_inv_sd = np.full(12, 1e3)
+        return p
+
+    rd = bundle_adjust(make(), max_iterations=12)
+    rs = bundle_adjust_sharded(
+        make(), max_iterations=12, solver="dense", dtype=np.float64,
+    )
+    rel = abs(rs.final_cost - rd.final_cost) / rd.final_cost
+    assert rel < 1e-9, (rs.final_cost, rd.final_cost)
+    assert rs.iterations == rd.iterations
+    assert np.abs(rs.inst - rd.inst).max() < 1e-8
+    assert np.abs(rs.points - rd.points).max() < 1e-8
+
+
 def test_dense_grid_point_padding_with_prior_loss():
     """Non-power-of-two shard splits pad the point block; the per-point
     Cauchy prior-loss array must pad with it (round-5 fix: it was the
@@ -497,7 +542,13 @@ def test_dense_grid_routing():
     up.up_rigcam = np.zeros(12, dtype=np.int64)
     up.up_vec = np.tile([0.0, 0.0, 1.0], (12, 1))
     up.up_inv_sd = np.full(12, 10.0)
-    assert not _dense_grid_eligible(up)
+    # Up-vector rows are in-path for the dense grid since round 5
+    # (replicated _assemble_S epilogue + cost tail).
+    assert _dense_grid_eligible(up)
+    depth = _make_problem(n_shots=12, n_points=256, track_window=8)
+    depth.obs_depth = np.full(len(depth.obs_uv), 2.0)
+    depth.obs_depth_inv_sd = np.full(len(depth.obs_uv), 1.0)
+    assert not _dense_grid_eligible(depth)
     big = _make_problem(n_shots=12, n_points=256)
     big.inst = np.zeros((200_000, 6))  # grid would be 51M slots
     assert not _dense_grid_eligible(big)
